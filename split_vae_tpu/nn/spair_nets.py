@@ -1,0 +1,341 @@
+"""SPAIR building blocks: backbone encoder, object nets, backgrounds, renderer.
+
+Behavioral contract: spair/spair.py:110-579. TPU-native departures:
+  - glimpse crop / object paste use the separable-matmul STN (ops/stn.py)
+    instead of gather_nd bilinear sampling;
+  - all per-cell work stays batched as [B*K, ...] tensors (as the reference
+    does) so convs hit the MXU at full tile occupancy;
+  - randomness is explicit ('sample' PRNG stream).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from split_vae_tpu.nn.common import Conv, Dense, flatten, resize_bilinear
+from split_vae_tpu.ops.distributions import (
+    concrete_binary_pre_sigmoid_sample,
+    reparameterize,
+)
+from split_vae_tpu.ops.stn import stn_crop, stn_paste
+
+Array = jax.Array
+
+
+class ImageEncoder(nn.Module):
+    """Conv VAE encoder for backgrounds / local path (spair/spair.py:110-133)."""
+
+    latent_size: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Tuple[Array, Array, Array]:
+        x = nn.relu(Conv(32, (3, 3), strides=2, padding="SAME")(x))
+        x = nn.relu(Conv(64, (3, 3), strides=2, padding="SAME")(x))
+        x = nn.relu(Conv(128, (3, 3), strides=2, padding="SAME")(x))
+        x = flatten(x)
+        z_mean = Dense(self.latent_size)(x)
+        z_sig = nn.softplus(Dense(self.latent_size)(x))
+        z = reparameterize(self.make_rng("sample"), z_mean, z_sig)
+        return z, z_mean, z_sig
+
+
+class ImageEncoderDense(nn.Module):
+    """MLP VAE encoder 1024 -> 500 (spair/spair.py:135-154)."""
+
+    latent_size: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Tuple[Array, Array, Array]:
+        x = flatten(x)
+        x = nn.relu(Dense(1024)(x))
+        x = nn.relu(Dense(500)(x))
+        z_mean = Dense(self.latent_size)(x)
+        z_sig = nn.softplus(Dense(self.latent_size)(x))
+        z = reparameterize(self.make_rng("sample"), z_mean, z_sig)
+        return z, z_mean, z_sig
+
+
+class ImageDecoder(nn.Module):
+    """Conv decoder to a sigmoid image (spair/spair.py:157-182).
+
+    Reference quirk preserved: the 32-filter conv before the final conv uses a
+    sigmoid activation (spair/spair.py:168).
+    """
+
+    image_hw: Tuple[int, int]
+    num_channel: int = 3
+
+    @nn.compact
+    def __call__(self, z: Array) -> Array:
+        h, w = self.image_hw
+        x = nn.relu(Dense(h // 8 * (w // 8) * 128)(z))
+        x = x.reshape(-1, h // 8, w // 8, 128)
+        x = nn.relu(Conv(128, (3, 3), padding="SAME")(x))
+        x = resize_bilinear(x, h // 4, w // 4)
+        x = nn.relu(Conv(64, (3, 3), padding="SAME")(x))
+        x = resize_bilinear(x, h // 2, w // 2)
+        x = nn.sigmoid(Conv(32, (3, 3), padding="SAME")(x))
+        x = resize_bilinear(x, h, w)
+        return nn.sigmoid(Conv(self.num_channel, (3, 3), padding="SAME")(x))
+
+
+class ImageDecoderDense(nn.Module):
+    """MLP decoder 500 -> 1024 -> H*W*C sigmoid (spair/spair.py:185-202)."""
+
+    image_hw: Tuple[int, int]
+    num_channel: int = 3
+
+    @nn.compact
+    def __call__(self, z: Array) -> Array:
+        h, w = self.image_hw
+        x = nn.relu(Dense(500)(z))
+        x = nn.relu(Dense(1024)(x))
+        x = nn.sigmoid(Dense(h * w * self.num_channel)(x))
+        return x.reshape(-1, h, w, self.num_channel)
+
+
+class BackgroundModel(nn.Module):
+    """Single-module background VAE (spair/spair.py:205-244)."""
+
+    image_hw: Tuple[int, int]
+    bg_latent_size: int
+    num_channel: int = 3
+
+    @nn.compact
+    def __call__(self, x: Array) -> Tuple[Array, Array, Array, Array]:
+        h, w = self.image_hw
+        v = nn.relu(Conv(32, (3, 3), strides=2, padding="SAME")(x))
+        v = nn.relu(Conv(64, (3, 3), strides=2, padding="SAME")(v))
+        v = nn.relu(Conv(128, (3, 3), strides=2, padding="SAME")(v))
+        v = flatten(v)
+        z_mean = Dense(self.bg_latent_size)(v)
+        z_sig = nn.softplus(Dense(self.bg_latent_size)(v))
+        z = reparameterize(self.make_rng("sample"), z_mean, z_sig)
+
+        d = nn.relu(Dense(h // 8 * (w // 8) * 128)(z))
+        d = d.reshape(-1, h // 8, w // 8, 128)
+        d = nn.relu(Conv(128, (3, 3), padding="SAME")(d))
+        d = resize_bilinear(d, h // 4, w // 4)
+        d = nn.relu(Conv(64, (3, 3), padding="SAME")(d))
+        d = resize_bilinear(d, h // 2, w // 2)
+        d = nn.sigmoid(Conv(32, (3, 3), padding="SAME")(d))
+        d = resize_bilinear(d, h, w)
+        bg = nn.sigmoid(Conv(self.num_channel, (3, 3), padding="SAME")(d))
+        return bg, z, z_mean, z_sig
+
+
+class ObjEncoder(nn.Module):
+    """Per-glimpse encoder -> z_what, operating on flattened [B*K, os, os, C].
+
+    Reference: spair/spair.py:246-273.
+    """
+
+    latent_size: int
+
+    @nn.compact
+    def __call__(self, glimpses: Array) -> Tuple[Array, Array, Array]:
+        b, k, gh, gw, c = glimpses.shape
+        x = glimpses.reshape(b * k, gh, gw, c)
+        x = nn.relu(Conv(32, (3, 3), strides=2, padding="SAME")(x))
+        x = nn.relu(Conv(64, (3, 3), strides=2, padding="SAME")(x))
+        x = flatten(x)
+        hdn = nn.relu(Dense(self.latent_size * 2)(x))
+        z_mean = Dense(self.latent_size)(hdn)
+        z_sig = nn.softplus(Dense(self.latent_size)(hdn))
+        z = reparameterize(self.make_rng("sample"), z_mean, z_sig)
+        return z, z_mean, z_sig
+
+
+class ObjDecoder(nn.Module):
+    """z_what -> RGB object + alpha, both sigmoid (spair/spair.py:341-366)."""
+
+    object_size: int
+    num_channel: int
+    latent_size: int
+
+    @nn.compact
+    def __call__(self, z_what: Array) -> Tuple[Array, Array]:
+        os_ = self.object_size
+        x = nn.relu(Dense(self.latent_size * 2)(z_what))
+        x = nn.relu(Dense(os_ // 4 * (os_ // 4) * 32)(x))
+        x = x.reshape(-1, os_ // 4, os_ // 4, 32)
+        x = nn.relu(Conv(64, (3, 3), padding="SAME")(x))
+        x = resize_bilinear(x, os_ // 2, os_ // 2)
+        x = nn.relu(Conv(32, (3, 3), padding="SAME")(x))
+        x = resize_bilinear(x, os_, os_)
+        x = Conv(self.num_channel + 1, (3, 3), padding="SAME")(x)
+        return nn.sigmoid(x[..., : self.num_channel]), nn.sigmoid(x[..., self.num_channel :])
+
+
+class SpairEncoder(nn.Module):
+    """SPAIR backbone + autoregressive-ish latent program.
+
+    Reference: spair/spair.py:368-496. Backbone: 3 convs (128, k=4, strides
+    2/2/3) to a gh x gw cell grid, 1x1 conv heads to 100 features per cell,
+    then box net -> z_where (+8 passthrough), STN glimpse crop, object encoder
+    -> z_what, depth net, presence net with Binary-Concrete sampling.
+    """
+
+    object_size: int
+    latent_size: int
+    tau: float
+    concat: bool = False  # inject tiled z_l into per-cell features
+
+    n_z_where: int = 4
+    n_pass_through: int = 8
+
+    def setup(self):
+        self.conv1 = Conv(128, (4, 4), strides=2, padding="SAME")
+        self.conv2 = Conv(128, (4, 4), strides=2, padding="SAME")
+        self.conv3 = Conv(128, (4, 4), strides=3, padding="SAME")
+        self.z1 = Conv(128, (1, 1), padding="VALID")
+        self.z2 = Conv(128, (1, 1), padding="VALID")
+        self.z3 = Conv(100, (1, 1), padding="VALID")
+        self.where_d1 = Dense(128)
+        self.where_d2 = Dense(64)
+        self.where_d3 = Dense(self.n_z_where * 2 + self.n_pass_through)
+        self.depth_d1 = Dense(64)
+        self.depth_d2 = Dense(1 * 2 + self.n_pass_through)
+        self.pres_d1 = Dense(64)
+        self.pres_d2 = Dense(1)
+        self.obj_encoder = ObjEncoder(self.latent_size)
+        if self.concat:
+            self.zl_d1 = Dense(16)
+            self.zl_d2 = Dense(16)
+
+    def __call__(self, x: Array, z_l: Optional[Array] = None):
+        b = x.shape[0]
+        h = nn.relu(self.conv1(x))
+        h = nn.relu(self.conv2(h))
+        h = nn.relu(self.conv3(h))
+        h = nn.relu(self.z1(h))
+        h = nn.relu(self.z2(h))
+        z = nn.relu(self.z3(h))  # [B, gh, gw, 100]
+        gh, gw = z.shape[1], z.shape[2]
+        k = gh * gw
+
+        features = z.reshape(b * k, z.shape[-1])
+        if self.concat:
+            assert z_l is not None, "concat_backbone requires z_l"
+            zl = nn.relu(self.zl_d2(nn.relu(self.zl_d1(z_l))))  # [B, 16]
+            zl = jnp.tile(zl[:, None, :], (1, k, 1)).reshape(b * k, -1)
+            features = jnp.concatenate([features, zl], axis=-1)
+
+        # Box network (z_where) with passthrough features.
+        wh = self.where_d3(nn.relu(self.where_d2(nn.relu(self.where_d1(features)))))
+        z_where_mean = wh[:, : self.n_z_where]
+        z_where_sigma = nn.softplus(wh[:, self.n_z_where : 2 * self.n_z_where] - 1.0)
+        features_1 = nn.relu(wh[:, 2 * self.n_z_where :])
+        z_where = reparameterize(self.make_rng("sample"), z_where_mean, z_where_sigma)
+
+        partial_program = z_where
+        z_where_grid = z_where.reshape(b, gh, gw, self.n_z_where)
+
+        # Attr network: crop glimpses, encode objects.
+        all_glimpses, _ = stn_crop(x, z_where_grid, (self.object_size, self.object_size))
+        z_what, z_what_mean, z_what_sigma = self.obj_encoder(all_glimpses)
+
+        partial_program = jnp.concatenate([partial_program, z_what], axis=1)
+        layer_inp = jnp.concatenate([features, features_1, partial_program], axis=1)
+
+        # Depth network.
+        dh = self.depth_d2(nn.relu(self.depth_d1(layer_inp)))
+        z_depth_mean = dh[:, :1]
+        z_depth_sigma = nn.softplus(dh[:, 1:2])
+        features_2 = nn.relu(dh[:, 2:])
+        z_depth = reparameterize(self.make_rng("sample"), z_depth_mean, z_depth_sigma)
+        partial_program = jnp.concatenate([partial_program, z_depth], axis=1)
+
+        layer_inp = jnp.concatenate([features, features_2, partial_program], axis=1)
+
+        # Presence network: Binary-Concrete.
+        z_pres_logits = jnp.clip(self.pres_d2(nn.relu(self.pres_d1(layer_inp))), -10.0, 10.0)
+        z_pres_pre_sigmoid = concrete_binary_pre_sigmoid_sample(
+            self.make_rng("sample"), z_pres_logits, self.tau
+        )
+        z_pres = nn.sigmoid(z_pres_pre_sigmoid)
+
+        grid = lambda v: v.reshape(b, gh, gw, -1)
+        return (
+            grid(z_what), grid(z_what_mean), grid(z_what_sigma),
+            z_where_grid, grid(z_where_mean), grid(z_where_sigma),
+            grid(z_depth), grid(z_depth_mean), grid(z_depth_sigma),
+            grid(z_pres), grid(z_pres_logits), grid(z_pres_pre_sigmoid),
+            all_glimpses,
+        )
+
+
+class SpairDecoder(nn.Module):
+    """Decode every cell's object and paste onto full-size canvases.
+
+    Reference: spair/spair.py:500-532.
+    """
+
+    image_hw: Tuple[int, int]
+    object_size: int
+    num_channel: int
+    latent_size: int
+
+    @nn.compact
+    def __call__(self, z_what: Array, z_where: Array):
+        b, gh, gw, d = z_what.shape
+        k = gh * gw
+        obj_decoder = ObjDecoder(self.object_size, self.num_channel, self.latent_size)
+        rgb, alpha = obj_decoder(z_what.reshape(b * k, d))
+        os_ = self.object_size
+        obj_recon_unnorm = rgb.reshape(b, k, os_, os_, self.num_channel)
+        obj_recon_alpha = alpha.reshape(b, k, os_, os_, 1)
+        concat = jnp.concatenate([obj_recon_unnorm, obj_recon_alpha], axis=-1)
+        obj_full_recon_unnorm, obj_bbox_mask = stn_paste(concat, z_where, self.image_hw)
+        return obj_recon_unnorm, obj_recon_alpha, obj_full_recon_unnorm, obj_bbox_mask
+
+
+def render(
+    obj_full_recon_unnorm: Array,
+    background_img,
+    z_depth: Array,
+    z_pres: Array,
+    z_pres_logits: Array,
+    key: Optional[Array],
+    training: bool,
+    num_channel: int,
+) -> Array:
+    """Depth-aware differentiable alpha compositing (spair/spair.py:534-579).
+
+    Train: uses the Concrete z_pres sample and adds N(0, 0.01) noise to object
+    RGB before clipping. Test: uses round(sigmoid(z_pres_logits)) floored at
+    1e-8 instead of the sample.
+    """
+    b = z_depth.shape[0]
+    k = z_depth.shape[1] * z_depth.shape[2]
+    z_depth = z_depth.reshape(b, k, 1, 1, 1)
+    if training:
+        z_pres = z_pres.reshape(b, k, 1, 1, 1)
+    else:
+        z_pres = jax.nn.sigmoid(z_pres_logits).reshape(b, k, 1, 1, 1)
+        z_pres = jnp.maximum(jnp.round(z_pres), 1e-8)
+
+    obj_rgb = obj_full_recon_unnorm[..., :num_channel]
+    obj_alpha = jnp.clip(obj_full_recon_unnorm[..., num_channel:], 1e-8, 1.0)
+
+    transparency_map = z_pres * obj_alpha
+    importance_map = z_pres * obj_alpha * (jax.nn.sigmoid(-z_depth) + 0.5)
+
+    if training:
+        noise = 0.01 * jax.random.normal(key, obj_rgb.shape, dtype=obj_rgb.dtype)
+        obj_rgb = obj_rgb + noise
+    obj_rgb = jnp.clip(obj_rgb, 0.0, 1.0)
+
+    unnorm_canvas = jnp.sum(importance_map * obj_rgb, axis=1)
+    normalise_const = jnp.sum(importance_map, axis=1)
+    normalised_canvas = unnorm_canvas / (normalise_const + 1e-8)
+    normalised_alpha_canvas = jnp.sum(transparency_map * importance_map, axis=1) / (
+        normalise_const + 1e-8
+    )
+    return normalised_alpha_canvas * normalised_canvas + (
+        1.0 - normalised_alpha_canvas
+    ) * background_img

@@ -1,0 +1,35 @@
+"""Test configuration: run everything on an 8-device virtual CPU mesh.
+
+Must set env vars before the first jax import so that sharding tests exercise
+the real SPMD partitioner without TPU hardware.
+"""
+
+import os
+
+# NOTE: this environment pre-imports jax via sitecustomize with
+# JAX_PLATFORMS=axon (remote TPU), so plain env vars set here are too late for
+# jax's config snapshot. XLA_FLAGS is still read lazily at backend init, and
+# jax.config.update works post-import as long as no backend has initialized.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+assert jax.device_count() == 8, f"expected 8 virtual CPU devices, got {jax.device_count()}"
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(0)
