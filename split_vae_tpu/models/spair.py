@@ -1,0 +1,215 @@
+"""SPAIR model family: SPAIR, BG-SPAIR, LG-SPAIR (SPLIT-SPAIR).
+
+Behavioral contract: spair/spair.py:8-106 plus the sub-networks it wires
+(backbone encoder :368-496, decoder :500-532, renderer :534-579, background
+models :110-244). The reference's ``bg_spair`` is SPAIR with ``bg=True``;
+``lg_spair`` adds the SPLIT local path and optional concat wiring.
+
+Reference quirks handled deliberately:
+  - ``lg_glimpse_spair`` references a class that does not exist in the
+    reference (spair/spair.py:14-15 -> NameError); we do not ship dead code.
+  - LGSPAIR reads ``config.bg_model`` / ``config.concat_z_bg`` which are not
+    CLI flags and default to falsy via dotdict (spair/spair.py:58,63); here
+    they are explicit boolean fields defaulting to False.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from split_vae_tpu.nn.spair_nets import (
+    BackgroundModel,
+    ImageDecoder,
+    ImageDecoderDense,
+    ImageEncoder,
+    ImageEncoderDense,
+    SpairDecoder,
+    SpairEncoder,
+    render,
+)
+
+Array = jax.Array
+
+
+class SpairOutput(NamedTuple):
+    """Superset of the reference's 18/21/25-tuples (spair/spair.py:42-49,104-106).
+
+    Fields absent for a given variant are None (empty pytree leaves).
+    """
+
+    x_recon: Array
+    z_what: Array
+    z_what_mean: Array
+    z_what_sigma: Array
+    z_where: Array
+    z_where_mean: Array
+    z_where_sigma: Array
+    z_depth: Array
+    z_depth_mean: Array
+    z_depth_sigma: Array
+    z_pres: Array
+    z_pres_logits: Array
+    z_pres_pre_sigmoid: Array
+    all_glimpses: Array
+    obj_recon_unnorm: Array
+    obj_recon_alpha: Array
+    obj_full_recon_unnorm: Array
+    obj_bbox_mask: Array
+    z_bg: Optional[Array] = None
+    z_bg_mean: Optional[Array] = None
+    z_bg_sig: Optional[Array] = None
+    x_hat_recon: Optional[Array] = None
+    z_l: Optional[Array] = None
+    z_l_mean: Optional[Array] = None
+    z_l_sig: Optional[Array] = None
+
+
+class SPAIR(nn.Module):
+    """SPAIR / BG-SPAIR (spair/spair.py:19-49)."""
+
+    image_hw: Tuple[int, int]
+    object_size: int
+    latent_size: int
+    tau: float
+    num_channel: int = 3
+    bg: bool = False
+    bg_latent_size: int = 4
+
+    def setup(self):
+        self.encoder = SpairEncoder(self.object_size, self.latent_size, self.tau)
+        self.decoder = SpairDecoder(
+            self.image_hw, self.object_size, self.num_channel, self.latent_size
+        )
+        if self.bg:
+            self.bg_model = BackgroundModel(self.image_hw, self.bg_latent_size, self.num_channel)
+
+    def __call__(self, inputs: Array, training: bool = False) -> SpairOutput:
+        enc = self.encoder(inputs)
+        (z_what, z_what_mean, z_what_sigma, z_where, z_where_mean, z_where_sigma,
+         z_depth, z_depth_mean, z_depth_sigma, z_pres, z_pres_logits,
+         z_pres_pre_sigmoid, all_glimpses) = enc
+
+        obj_recon_unnorm, obj_recon_alpha, obj_full, obj_bbox = self.decoder(z_what, z_where)
+
+        if self.bg:
+            bg_recon, z_bg, z_bg_mean, z_bg_sig = self.bg_model(inputs)
+        else:
+            bg_recon, z_bg, z_bg_mean, z_bg_sig = 0.0, None, None, None
+
+        key = self.make_rng("sample") if training else None
+        x_recon = render(
+            obj_full, bg_recon, z_depth, z_pres, z_pres_logits, key, training, self.num_channel
+        )
+        return SpairOutput(
+            x_recon, z_what, z_what_mean, z_what_sigma, z_where, z_where_mean,
+            z_where_sigma, z_depth, z_depth_mean, z_depth_sigma, z_pres,
+            z_pres_logits, z_pres_pre_sigmoid, all_glimpses, obj_recon_unnorm,
+            obj_recon_alpha, obj_full, obj_bbox, z_bg, z_bg_mean, z_bg_sig,
+        )
+
+
+class LGSPAIR(nn.Module):
+    """SPLIT-SPAIR: SPAIR + local (scrambled-view) path (spair/spair.py:52-106)."""
+
+    image_hw: Tuple[int, int]
+    object_size: int
+    latent_size: int
+    tau: float
+    num_channel: int = 3
+    bg_latent_size: int = 4
+    local_latent_size: int = 64
+    dense_bg: bool = False
+    dense_local: bool = False
+    concat_z_what: bool = False
+    concat_backbone: bool = False
+    concat_z_bg: bool = False
+
+    def setup(self):
+        self.encoder = SpairEncoder(
+            self.object_size, self.latent_size, self.tau, concat=self.concat_backbone
+        )
+        self.decoder = SpairDecoder(
+            self.image_hw, self.object_size, self.num_channel, self.latent_size
+        )
+        if self.dense_bg:
+            self.bg_encoder = ImageEncoderDense(self.bg_latent_size)
+            self.bg_decoder = ImageDecoderDense(self.image_hw, self.num_channel)
+        else:
+            self.bg_encoder = ImageEncoder(self.bg_latent_size)
+            self.bg_decoder = ImageDecoder(self.image_hw, self.num_channel)
+        if self.dense_local:
+            self.x_hat_encoder = ImageEncoderDense(self.local_latent_size)
+            self.x_hat_decoder = ImageDecoderDense(self.image_hw, self.num_channel)
+        else:
+            self.x_hat_encoder = ImageEncoder(self.local_latent_size)
+            self.x_hat_decoder = ImageDecoder(self.image_hw, self.num_channel)
+
+    def __call__(self, inputs: Array, training: bool = False) -> SpairOutput:
+        x, x_hat = inputs[..., :3], inputs[..., 3:]
+
+        z_l, z_l_mean, z_l_sig = self.x_hat_encoder(x_hat)
+        z_bg, z_bg_mean, z_bg_sig = self.bg_encoder(x)
+
+        enc = self.encoder(x, z_l if self.concat_backbone else None)
+        (z_what, z_what_mean, z_what_sigma, z_where, z_where_mean, z_where_sigma,
+         z_depth, z_depth_mean, z_depth_sigma, z_pres, z_pres_logits,
+         z_pres_pre_sigmoid, all_glimpses) = enc
+
+        x_hat_recon = self.x_hat_decoder(z_l)
+        z_bg_in = jnp.concatenate([z_bg, z_l], axis=-1) if self.concat_z_bg else z_bg
+        bg_recon = self.bg_decoder(z_bg_in)
+
+        if self.concat_z_what:
+            gh, gw = z_what.shape[1], z_what.shape[2]
+            tiled = jnp.tile(z_l[:, None, None, :], (1, gh, gw, 1))
+            z_what = jnp.concatenate([z_what, tiled], axis=-1)
+
+        obj_recon_unnorm, obj_recon_alpha, obj_full, obj_bbox = self.decoder(z_what, z_where)
+
+        key = self.make_rng("sample") if training else None
+        x_recon = render(
+            obj_full, bg_recon, z_depth, z_pres, z_pres_logits, key, training, self.num_channel
+        )
+        return SpairOutput(
+            x_recon, z_what, z_what_mean, z_what_sigma, z_where, z_where_mean,
+            z_where_sigma, z_depth, z_depth_mean, z_depth_sigma, z_pres,
+            z_pres_logits, z_pres_pre_sigmoid, all_glimpses, obj_recon_unnorm,
+            obj_recon_alpha, obj_full, obj_bbox, z_bg, z_bg_mean, z_bg_sig,
+            x_hat_recon, z_l, z_l_mean, z_l_sig,
+        )
+
+
+def get_spair_model(config) -> nn.Module:
+    """Model factory mirroring spair/spair.py:8-17 on config.model."""
+    image_hw = (config.image_size[0], config.image_size[1])
+    num_channel = config.image_size[2]
+    if config.model == "lg_spair":
+        return LGSPAIR(
+            image_hw=image_hw,
+            object_size=config.object_size,
+            latent_size=config.latent_size,
+            tau=config.tau,
+            num_channel=num_channel,
+            bg_latent_size=config.bg_latent_size,
+            local_latent_size=config.local_latent_size,
+            dense_bg=config.dense_bg,
+            dense_local=config.dense_local,
+            concat_z_what=config.concat_z_what,
+            concat_backbone=config.concat_backbone,
+            concat_z_bg=config.concat_z_bg,
+        )
+    if config.model in ("spair", "bg_spair"):
+        return SPAIR(
+            image_hw=image_hw,
+            object_size=config.object_size,
+            latent_size=config.latent_size,
+            tau=config.tau,
+            num_channel=num_channel,
+            bg=config.model == "bg_spair",
+            bg_latent_size=config.bg_latent_size,
+        )
+    raise NotImplementedError(f"Model type not implemented: {config.model}")

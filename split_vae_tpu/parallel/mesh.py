@@ -1,0 +1,128 @@
+"""Mesh construction and sharding rules.
+
+The reference is strictly single-device (SURVEY.md 2.3: no tf.distribute
+anywhere). TPU-native scaling story:
+  - 'data' axis: batch sharded, params replicated; XLA's SPMD partitioner
+    inserts the gradient all-reduce over ICI automatically.
+  - 'model' axis (optional): large Dense/Conv kernels sharded on their output
+    feature dim; activations stay replicated and XLA inserts the needed
+    collectives. At reference model sizes (<10M params) this is off by
+    default (mesh shape (ndev, 1)) but the full path is exercised by
+    ``dryrun_multichip``.
+
+Multi-host pods: call ``jax.distributed.initialize()`` before ``create_mesh``
+and the same code lays the mesh over all processes (DCN between hosts, ICI
+within a slice).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def create_mesh(num_data: int = 0, num_model: int = 1, devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh. num_data=0 means 'all remaining devices'."""
+    devices = list(devices if devices is not None else jax.devices())
+    if num_data <= 0:
+        num_data = max(1, len(devices) // num_model)
+    use = num_data * num_model
+    grid = np.asarray(devices[:use]).reshape(num_data, num_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dim split over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch onto the mesh, split along the leading dim."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def infer_param_sharding(params, mesh: Mesh, min_size: int = 1 << 15):
+    """Tensor-parallel rule: shard big kernels' output-feature dim over 'model'.
+
+    Leaves smaller than ``min_size`` elements, or whose last dim does not
+    divide evenly, stay replicated. With a (N, 1) mesh this returns pure
+    replication (classic DP).
+    """
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def rule(x):
+        if (
+            n_model > 1
+            and hasattr(x, "ndim")
+            and x.ndim >= 2
+            and x.size >= min_size
+            and x.shape[-1] % n_model == 0
+        ):
+            spec = [None] * (x.ndim - 1) + [MODEL_AXIS]
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, params)
+
+
+def shard_state(state, mesh: Mesh):
+    """Place a TrainState on the mesh: params (and mirrored opt state) per the
+    tensor-parallel rule, everything else replicated."""
+    param_shardings = infer_param_sharding(state.params, mesh)
+
+    def place(path_free_tree, shardings):
+        return jax.tree.map(jax.device_put, path_free_tree, shardings)
+
+    params = place(state.params, param_shardings)
+
+    # Optimizer state mirrors the param tree inside each optax sub-state; shard
+    # matching leaves the same way and replicate the rest (e.g. step counts).
+    def opt_place(x):
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    flat_params, _ = jax.tree.flatten_with_path(state.params)
+    sharding_by_path = {
+        jax.tree_util.keystr(p): s
+        for (p, _), s in zip(
+            jax.tree.flatten_with_path(state.params)[0],
+            jax.tree.leaves(param_shardings, is_leaf=lambda s: isinstance(s, NamedSharding)),
+        )
+    }
+
+    def place_opt_tree(tree):
+        flat, treedef = jax.tree.flatten_with_path(tree)
+        placed = []
+        for path, leaf in flat:
+            key = jax.tree_util.keystr(path)
+            # optax ScaleByAdam nests the param tree under .mu/.nu etc; match by
+            # path suffix.
+            matched = None
+            for ppath, sh in sharding_by_path.items():
+                if key.endswith(ppath) and getattr(leaf, "shape", None) is not None:
+                    matched = sh
+                    break
+            placed.append(
+                jax.device_put(leaf, matched or NamedSharding(mesh, P()))
+            )
+        return jax.tree.unflatten(treedef, placed)
+
+    opt_state = place_opt_tree(state.opt_state)
+    rng = jax.device_put(state.rng, NamedSharding(mesh, P()))
+    step = jax.device_put(state.step, NamedSharding(mesh, P()))
+    batch_stats = (
+        jax.tree.map(opt_place, state.batch_stats) if state.batch_stats is not None else None
+    )
+    return state.replace(
+        params=params, opt_state=opt_state, rng=rng, step=step, batch_stats=batch_stats
+    )

@@ -1,0 +1,163 @@
+"""Jitted train/eval steps: one fused device program per step.
+
+Design (replaces the reference's @tf.function graphs, vae/trainer.py:120-292
+and spair/trainer.py:136-308):
+  - The raw batch crosses PCIe in its compact storage dtype (uint8 for
+    SVHN/CelebA); normalization to [-1, 1] / [0, 1] happens on device.
+  - Augmentation (patch scramble etc.) runs inside the step (ops/patches.py),
+    so the widened 6/9-channel view never leaves HBM.
+  - The whole forward + loss + backward + Adam update is one XLA program with
+    the TrainState donated (true in-place update).
+  - With a batch sharded over the 'data' mesh axis, XLA's SPMD partitioner
+    emits the gradient all-reduce automatically — no explicit collectives.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from split_vae_tpu.core.state import TrainState
+from split_vae_tpu.ops.patches import augment_batch
+from split_vae_tpu.train import losses
+
+Array = jax.Array
+
+
+def normalize_images(batch: Array, mode: str) -> Array:
+    """uint8 -> float in the model's expected range.
+
+    'tanh': [-1, 1] like the VAE datasets (vae/data.py:52); 'unit': [0, 1] like
+    MultiCUB canvases (spair/data.py:160-174). float inputs pass through.
+    """
+    if batch.dtype == jnp.uint8:
+        x = batch.astype(jnp.float32) / 255.0
+        return x * 2.0 - 1.0 if mode == "tanh" else x
+    return batch.astype(jnp.float32)
+
+
+def _vae_loss_fn(model_kind: str, config):
+    if model_kind == "lgvae":
+        return lambda out, images: losses.lgvae_loss(out, images, config.beta)
+    if model_kind == "lggmvae":
+        return lambda out, images: losses.lggmvae_loss(
+            out, images, config.beta, config.alpha, config.y_size
+        )
+    if model_kind == "gmvae":
+        return lambda out, images: losses.gmvae_loss(
+            out, images, config.beta, config.alpha, config.y_size
+        )
+    raise ValueError(model_kind)
+
+
+def make_vae_train_step(config) -> Callable:
+    """Returns jitted (state, raw_batch_u8) -> (state, metrics)."""
+    loss_of = _vae_loss_fn(config.model, config)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def train_step(state: TrainState, batch: Array):
+        state, keys = state.next_rng(3)
+        k_aug, k_sample, k_drop = keys
+        x = normalize_images(batch, "tanh")
+        images = augment_batch(k_aug, x, config.augmentation, config.patch_size)
+
+        def loss(params):
+            out = state.apply_fn(
+                {"params": params},
+                images,
+                True,
+                rngs={"sample": k_sample, "dropout": k_drop},
+            )
+            return loss_of(out, images)
+
+        (_, metrics), grads = jax.value_and_grad(loss, has_aux=True)(state.params)
+        state = state.apply_gradients(grads)
+        return state, metrics
+
+    return train_step
+
+
+def make_vae_eval_step(config, apply_fn) -> Callable:
+    """Returns jitted (params, rng, raw_batch) -> (out, metrics, images).
+
+    Eval runs with training=False (no dropout) but sampling noise stays on, as
+    in the reference test steps (vae/trainer.py:199-292 call model(images)).
+    """
+    loss_of = _vae_loss_fn(config.model, config)
+
+    @jax.jit
+    def eval_step(params, rng: Array, batch: Array):
+        k_aug, k_sample = jax.random.split(rng)
+        x = normalize_images(batch, "tanh")
+        images = augment_batch(k_aug, x, config.augmentation, config.patch_size)
+        out = apply_fn({"params": params}, images, False, rngs={"sample": k_sample})
+        _, metrics = loss_of(out, images)
+        return out, metrics, images
+
+    return eval_step
+
+
+def make_spair_train_step(config) -> Callable:
+    """Returns jitted (state, raw_batch) -> (state, metrics, out, images)."""
+    augmented = config.model == "lg_spair"
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def train_step(state: TrainState, batch: Array):
+        state, keys = state.next_rng(2)
+        k_aug, k_sample = keys
+        x = normalize_images(batch, "unit")
+        if augmented:
+            images = augment_batch(k_aug, x, config.augmentation, config.patch_size)
+        else:
+            images = x
+        step_f = state.step.astype(jnp.float32)
+
+        def loss(params):
+            out = state.apply_fn(
+                {"params": params}, images, True, rngs={"sample": k_sample}
+            )
+            total, metrics = losses.spair_loss(out, images, config, step_f, training=True)
+            return total, (metrics, out)
+
+        (_, (metrics, out)), grads = jax.value_and_grad(loss, has_aux=True)(state.params)
+        state = state.apply_gradients(grads)
+        return state, metrics, out, images
+
+    return train_step
+
+
+def make_spair_eval_step(config, apply_fn) -> Callable:
+    """Returns jitted (params, rng, raw_batch, labels?) -> (out, metrics, images).
+
+    Reference quirk preserved: the test step calls the model with
+    training=True (spair/trainer.py:241), so Concrete sampling and render
+    noise stay on during eval.
+    """
+    augmented = config.model == "lg_spair"
+
+    @jax.jit
+    def eval_step(params, rng: Array, batch: Array, labels: Optional[Array] = None):
+        k_aug, k_sample = jax.random.split(rng)
+        x = normalize_images(batch, "unit")
+        if augmented:
+            images = augment_batch(k_aug, x, config.augmentation, config.patch_size)
+        else:
+            images = x
+        out = apply_fn({"params": params}, images, True, rngs={"sample": k_sample})
+        _, metrics = losses.spair_loss(out, images, config, jnp.float32(0.0), training=False)
+        if labels is not None:
+            pred_count = jnp.sum(
+                jnp.round(jax.nn.sigmoid(out.z_pres_logits)), axis=(1, 2, 3)
+            )
+            err = jnp.abs(labels - pred_count)
+            metrics["MAE test"] = jnp.mean(err)
+            metrics["MAPE test"] = jnp.mean(
+                jnp.where(labels > 0, err / jnp.maximum(labels, 1e-8) * 100.0, err * 100.0)
+            )
+            metrics["count_acc"] = jnp.mean((pred_count == labels).astype(jnp.float32))
+        return out, metrics, images
+
+    return eval_step
