@@ -1,0 +1,100 @@
+"""SVHN dataset loader.
+
+Reference: vae/data.py:23-75. Images are stored as uint8 [N, 32, 32, 3] on the
+host (normalization to [-1, 1] happens on device, train/steps.py); labels are
+one-hot float32 with the reference's digit-0-stored-as-class-10 remap
+(``y - 1``, vae/data.py:56).
+
+Downloads: the reference wget's three .mat files from ufldl.stanford.edu. This
+build looks for the same files under ``<data_dir>/SVHN/``; in zero-egress
+environments use ``--synthetic_data`` for a deterministic stand-in with the
+same shapes/dtypes.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import numpy as np
+
+from split_vae_tpu.data.loader import ArrayDataset
+
+_URLS = {
+    "train_32x32.mat": "http://ufldl.stanford.edu/housenumbers/train_32x32.mat",
+    "extra_32x32.mat": "http://ufldl.stanford.edu/housenumbers/extra_32x32.mat",
+    "test_32x32.mat": "http://ufldl.stanford.edu/housenumbers/test_32x32.mat",
+}
+
+
+def _load_mat(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    from scipy.io import loadmat
+
+    data = loadmat(path)
+    x = data["X"].transpose(3, 0, 1, 2)  # [N, 32, 32, 3] uint8
+    y = data["y"].reshape(-1)
+    return np.ascontiguousarray(x), y
+
+
+def _one_hot_labels(y: np.ndarray) -> np.ndarray:
+    """Digit 0 is stored as class 10; reference maps via y-1 (vae/data.py:56)."""
+    return np.eye(10, dtype=np.float32)[(y - 1).astype(np.int64)]
+
+
+def _maybe_download(data_path: str) -> None:
+    os.makedirs(data_path, exist_ok=True)
+    for fname, url in _URLS.items():
+        fpath = os.path.join(data_path, fname)
+        if not os.path.exists(fpath):
+            print(f"Downloading SVHN {fname}")
+            import urllib.request
+
+            urllib.request.urlretrieve(url, fpath)
+
+
+def synthetic_svhn(n_train: int = 512, n_test: int = 128, seed: int = 0):
+    """Deterministic stand-in with SVHN shapes (offline testing/benching)."""
+    rng = np.random.RandomState(seed)
+
+    def make(n):
+        # Smooth colored blobs so models can actually learn something.
+        yy, xx = np.mgrid[0:32, 0:32] / 32.0
+        imgs = np.zeros((n, 32, 32, 3), np.float32)
+        labels = rng.randint(0, 10, n)
+        for i in range(n):
+            f = 1 + labels[i]
+            imgs[i, :, :, 0] = 0.5 + 0.5 * np.sin(f * xx * 3 + rng.rand() * 6)
+            imgs[i, :, :, 1] = 0.5 + 0.5 * np.cos(f * yy * 3 + rng.rand() * 6)
+            imgs[i, :, :, 2] = (xx + yy) / 2
+        return (imgs * 255).astype(np.uint8), labels + 1  # .mat-style 1..10
+
+    x_train, y_train = make(n_train)
+    x_test, y_test = make(n_test)
+    return x_train, y_train, x_test, y_test
+
+
+def get_svhn(config, extra: bool = True):
+    """Returns (train ArrayDataset, test ArrayDataset, input_shape [-1,H,W,C])."""
+    if config.synthetic_data:
+        x_train, y_train, x_test, y_test = synthetic_svhn(seed=config.seed)
+        x_extra = x_train[:0]
+        y_extra = y_train[:0]
+    else:
+        data_path = os.path.join(config.data_dir, "SVHN")
+        _maybe_download(data_path)
+        x_train, y_train = _load_mat(os.path.join(data_path, "train_32x32.mat"))
+        x_test, y_test = _load_mat(os.path.join(data_path, "test_32x32.mat"))
+        if extra:
+            x_extra, y_extra = _load_mat(os.path.join(data_path, "extra_32x32.mat"))
+        else:
+            x_extra = x_train[:0]
+            y_extra = y_train[:0]
+
+    if extra and len(x_extra):
+        x_train = np.concatenate([x_train, x_extra])
+        y_train = np.concatenate([y_train, y_extra])
+
+    get_label = config.label
+    train = ArrayDataset(x_train, _one_hot_labels(y_train) if get_label else None)
+    test = ArrayDataset(x_test, _one_hot_labels(y_test) if get_label else None)
+    return train, test, [-1, 32, 32, 3]

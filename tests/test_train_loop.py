@@ -1,0 +1,111 @@
+"""End-to-end integration: tiny synthetic runs of every CLI path.
+
+Exercises data -> augment -> model -> loss -> update -> eval -> probes ->
+artifacts -> checkpoint on the 8-device virtual CPU mesh.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from split_vae_tpu.core.config import SpairConfig, VaeConfig
+
+
+def _vae_cfg(tmp_path, **kw):
+    base = dict(
+        synthetic_data=True, data_dir=str(tmp_path / "data"),
+        output_dir=str(tmp_path / "out"), batch_size=16, eval_interval=5,
+        training_steps=10, checkpoint_interval=5, seed=0,
+        global_latent_dims=8, local_latent_dims=8, y_size=5)
+    base.update(kw)
+    return VaeConfig(**base)
+
+
+@pytest.fixture(autouse=True)
+def _chdir(tmp_path, monkeypatch):
+    # 'models/' weights are written relative to cwd like the reference.
+    monkeypatch.chdir(tmp_path)
+
+
+def test_train_vae_lgvae_end_to_end(tmp_path):
+    from split_vae_tpu.train.loop import train_vae
+
+    config = _vae_cfg(tmp_path, model="lgvae", no_label=True, beta=1.0)
+    state, run_dir = train_vae(config)
+    assert int(state.step) >= 10
+    # metrics.jsonl + artifacts + checkpoint exist
+    assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
+    assert glob.glob(os.path.join(run_dir, "generate_it_*.png"))
+    assert glob.glob(os.path.join(run_dir, "x_reconstruction_test_it_*.png"))
+    assert glob.glob(os.path.join(run_dir, "vary_lower_it_*.png"))
+    assert glob.glob(os.path.join(run_dir, "checkpoints", "checkpoint_*.msgpack"))
+    assert glob.glob("models/*.msgpack")
+
+
+def test_train_vae_lggmvae_with_probes(tmp_path):
+    from split_vae_tpu.train.loop import train_vae
+
+    config = _vae_cfg(tmp_path, model="lggmvae", beta=1.0, alpha=1.0, viz=True,
+                      training_steps=6, eval_interval=3)
+    state, run_dir = train_vae(config)
+    # cluster metrics + probe metrics present in the JSONL
+    import json
+
+    records = [json.loads(l) for l in open(os.path.join(run_dir, "metrics.jsonl"))]
+    test_recs = [r for r in records if any(k.startswith("test/") for k in r)]
+    assert test_recs, records
+    joined = {k for r in test_recs for k in r}
+    assert "test/classifier_cluster_acc" in joined
+    assert "test/classifier_recon_acc" in joined
+    assert glob.glob(os.path.join(run_dir, "generate_cluster_fix_zl_it_*.png"))
+
+
+def test_train_vae_resume(tmp_path):
+    from split_vae_tpu.core import checkpoint as ckpt
+    from split_vae_tpu.train.loop import train_vae
+
+    config = _vae_cfg(tmp_path, model="lgvae", no_label=True, training_steps=5,
+                      eval_interval=5)
+    state, run_dir = train_vae(config)
+    ckpt_dir = os.path.join(run_dir, "checkpoints")
+    config2 = _vae_cfg(tmp_path, model="lgvae", no_label=True, training_steps=8,
+                       eval_interval=4, resume=ckpt_dir)
+    state2, _ = train_vae(config2)
+    assert int(state2.step) >= 8
+
+
+def test_train_spair_end_to_end(tmp_path):
+    from split_vae_tpu.train.loop import train_spair
+
+    config = SpairConfig(
+        synthetic_data=True, data_dir=str(tmp_path / "data"),
+        output_dir=str(tmp_path / "out"), batch_size=8, eval_interval=4,
+        training_steps=8, model="spair", latent_size=8, bg_latent_size=4,
+        local_latent_size=8, z_pres_anneal_step=10.0)
+    state, run_dir = train_spair(config)
+    assert int(state.step) >= 8
+    assert glob.glob(os.path.join(run_dir, "x_reconstrcution_test_it_*_0.png"))
+    assert glob.glob(os.path.join(run_dir, "x_reconstrcution_test_it_*_1.png"))
+    assert glob.glob(os.path.join(run_dir, "x_reconstrcution_bbox_it_*.png"))
+    assert glob.glob(os.path.join(run_dir, "glimpses_it_*.png"))
+    assert glob.glob(os.path.join(run_dir, "train_recon_it_*.png"))
+    import json
+
+    records = [json.loads(l) for l in open(os.path.join(run_dir, "metrics.jsonl"))]
+    joined = {k for r in records for k in r}
+    assert "test0/MAE test" in joined and "test1/MAE test" in joined
+
+
+def test_train_lg_spair_end_to_end(tmp_path):
+    from split_vae_tpu.train.loop import train_spair
+
+    config = SpairConfig(
+        synthetic_data=True, data_dir=str(tmp_path / "data"),
+        output_dir=str(tmp_path / "out"), batch_size=8, eval_interval=4,
+        training_steps=4, model="lg_spair", latent_size=8, bg_latent_size=4,
+        local_latent_size=8, split_z_l=True, concat_z_what=True,
+        dense_bg=True, dense_local=True, z_pres_anneal_step=10.0)
+    state, run_dir = train_spair(config)
+    assert glob.glob(os.path.join(run_dir, "x_hat_reconstrcution_test_it_*.png"))
