@@ -21,8 +21,8 @@ import sys
 import time
 
 BATCH = 64
-STEPS_WARMUP = 3
-STEPS_TIMED = 30
+STEPS_WARMUP = 5
+STEPS_TIMED = 100
 HW = (64, 64)
 
 
@@ -56,7 +56,9 @@ def measure(steps_timed: int = STEPS_TIMED) -> float:
     t0 = time.time()
     for i in range(steps_timed):
         state, metrics = train_step(state, batches[i % len(batches)])
-    jax.block_until_ready(metrics["total_loss"])
+    # Force the full dependent chain AND materialize the value on host —
+    # block_until_ready alone can return early through remote-relay backends.
+    _ = float(metrics["total_loss"])
     dt = time.time() - t0
     return steps_timed * BATCH / dt
 
