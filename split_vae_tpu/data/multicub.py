@@ -189,12 +189,31 @@ def create_multicub_cache(
     if os.path.exists(path):
         return path
     sprites_train, sprites_test = _load_sprites(data_dir, synthetic, seed)
-    cub = MultiCUB(sprites_train, sprites_test, seed=seed)
-    test_unseen, count_unseen = cub.create_dataset(
-        n_eval, digits=(0, 5), size=size, bg="unseen_" + bg, test=True)
-    train = cub.create_dataset(n_train, digits=(0, 5), size=size, bg=bg)
-    test, count_test = cub.create_dataset(
-        n_eval, digits=(0, 5), size=size, bg=bg, test=True)
+
+    def _palette(bg_name: str) -> np.ndarray:
+        if "rot" in bg_name:
+            cols = TEST_COLORS_TRIAD if "unseen" in bg_name else TRAIN_COLORS_TRIAD
+        else:
+            cols = TEST_COLORS if "unseen" in bg_name else TRAIN_COLORS
+        return np.asarray(cols, np.float32) / 255.0
+
+    def _make(n: int, bg_name: str, sprites: np.ndarray, split_seed: int):
+        # Prefer the native C++ generator (~100x faster for the 100k split);
+        # fall back to the numpy path when unavailable.
+        from split_vae_tpu.data import native
+
+        result = native.generate(sprites, n, size, bg_name, _palette(bg_name),
+                                 max_objects=5, seed=split_seed)
+        if result is not None:
+            return result
+        # numpy fallback: use the requested sprite bank for both slots and the
+        # test=True path so counts are always returned.
+        cub = MultiCUB(sprites, sprites, seed=split_seed)
+        return cub.create_dataset(n, digits=(0, 5), size=size, bg=bg_name, test=True)
+
+    test_unseen, count_unseen = _make(n_eval, "unseen_" + bg, sprites_test, seed + 1)
+    train, _ = _make(n_train, bg, sprites_train, seed)
+    test, count_test = _make(n_eval, bg, sprites_test, seed + 2)
     np.savez_compressed(
         path, train=train, test=test, count_test=count_test,
         test_unseen=test_unseen, count_unseen=count_unseen)
