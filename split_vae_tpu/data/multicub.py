@@ -80,11 +80,12 @@ class MultiCUB:
     """Canvas compositor (spair/data.py:39-174)."""
 
     def __init__(self, sprites_train: np.ndarray, sprites_test: Optional[np.ndarray] = None,
-                 seed: int = 0):
+                 seed: int = 0, texture_dir: Optional[str] = None):
         self.train_x = sprites_train
         self.test_x = sprites_test if sprites_test is not None else sprites_train
         self.rng = np.random.RandomState(seed)
         self.num_channel = sprites_train.shape[-1]
+        self.texture_dir = texture_dir  # data/kylberg in the reference
 
     # -- backgrounds ---------------------------------------------------------
     def _bg(self, bg: str, width: int, height: int) -> np.ndarray:
@@ -99,6 +100,23 @@ class MultiCUB:
             canvas[:] = np.array(TEST_COLORS[rng.randint(len(TEST_COLORS))]) / 255.0
         elif bg == "white":
             canvas[:] = 1.0
+        elif bg == "texture":
+            # Kylberg grayscale textures (spair/data.py:49,83-87) when present;
+            # otherwise a smooth procedural texture so the mode works offline.
+            import glob as _glob
+            files = sorted(_glob.glob(os.path.join(self.texture_dir, "*.png"))) \
+                if self.texture_dir else []
+            if files:
+                from PIL import Image
+                img = np.asarray(
+                    Image.open(files[rng.randint(len(files))]).convert("L")
+                    .resize((width, height)), np.float32) / 255.0
+                canvas[:] = img[:, :, None]
+            else:
+                yy, xx = np.mgrid[0:width, 0:height] / width
+                f1, f2, ph = rng.uniform(4, 12), rng.uniform(4, 12), rng.uniform(0, 6)
+                tex = 0.5 + 0.25 * np.sin(f1 * xx + ph) * np.cos(f2 * yy)
+                canvas[:] = tex[:, :, None].astype(np.float32)
         elif "rot" in bg:  # e.g. 'ckb_rot_6' / 'unseen_ckb_rot_6'
             palette = TEST_COLORS_TRIAD if "unseen" in bg else TRAIN_COLORS_TRIAD
             colors = [palette[i] for i in rng.permutation(len(palette))[:2]]

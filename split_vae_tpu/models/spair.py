@@ -66,6 +66,7 @@ class SpairOutput(NamedTuple):
     z_l: Optional[Array] = None
     z_l_mean: Optional[Array] = None
     z_l_sig: Optional[Array] = None
+    x_hat: Optional[Array] = None  # lg_glimpse_spair: scrambled glimpse targets
 
 
 class SPAIR(nn.Module):
@@ -183,6 +184,73 @@ class LGSPAIR(nn.Module):
         )
 
 
+class LGGlimpseSPAIR(nn.Module):
+    """Glimpse-local SPLIT-SPAIR: per-cell local latents from patch-scrambled
+    glimpses.
+
+    The reference *names* this model (spair/spair.py:14-15) and ships its loss
+    branch (spair/trainer.py:203-214) and visualizer
+    (glimpses_local_reconstruction_test, spair/visualizer.py:204-257), but the
+    class itself is missing — instantiating it raises NameError. This is the
+    working implementation assembled from those three contracts: SPAIR with a
+    background VAE plus an ObjEncoderScramble attr network emitting per-cell
+    (z_what, z_l) and a per-glimpse decoder reconstructing the scrambled view.
+    """
+
+    image_hw: Tuple[int, int]
+    object_size: int
+    latent_size: int
+    tau: float
+    num_channel: int = 3
+    bg_latent_size: int = 4
+    local_latent_size: int = 64
+    patch_size: int = 4
+    dense_bg: bool = False
+
+    def setup(self):
+        from split_vae_tpu.nn.spair_nets import GlimpseDecoder
+
+        self.encoder = SpairEncoder(
+            self.object_size, self.latent_size, self.tau, glimpse_local=True,
+            patch_size=self.patch_size, local_latent_size=self.local_latent_size)
+        self.decoder = SpairDecoder(
+            self.image_hw, self.object_size, self.num_channel, self.latent_size)
+        if self.dense_bg:
+            self.bg_encoder = ImageEncoderDense(self.bg_latent_size)
+            self.bg_decoder = ImageDecoderDense(self.image_hw, self.num_channel)
+        else:
+            self.bg_encoder = ImageEncoder(self.bg_latent_size)
+            self.bg_decoder = ImageDecoder(self.image_hw, self.num_channel)
+        self.x_hat_decoder = GlimpseDecoder(
+            self.object_size, self.num_channel, self.local_latent_size)
+
+    def __call__(self, inputs: Array, training: bool = False) -> SpairOutput:
+        x = inputs[..., : self.num_channel]
+        z_bg, z_bg_mean, z_bg_sig = self.bg_encoder(x)
+        enc = self.encoder(x)
+        (z_what, z_what_mean, z_what_sigma, z_where, z_where_mean, z_where_sigma,
+         z_depth, z_depth_mean, z_depth_sigma, z_pres, z_pres_logits,
+         z_pres_pre_sigmoid, all_glimpses, z_l, z_l_mean, z_l_sig, x_hat) = enc
+
+        bg_recon = self.bg_decoder(z_bg)
+        b, gh, gw, d = z_l.shape
+        x_hat_recon = self.x_hat_decoder(z_l.reshape(b * gh * gw, d))
+        x_hat_recon = x_hat_recon.reshape(
+            b, gh * gw, self.object_size, self.object_size, self.num_channel)
+
+        obj_recon_unnorm, obj_recon_alpha, obj_full, obj_bbox = self.decoder(z_what, z_where)
+        key = self.make_rng("sample") if training else None
+        x_recon = render(
+            obj_full, bg_recon, z_depth, z_pres, z_pres_logits, key, training,
+            self.num_channel)
+        return SpairOutput(
+            x_recon, z_what, z_what_mean, z_what_sigma, z_where, z_where_mean,
+            z_where_sigma, z_depth, z_depth_mean, z_depth_sigma, z_pres,
+            z_pres_logits, z_pres_pre_sigmoid, all_glimpses, obj_recon_unnorm,
+            obj_recon_alpha, obj_full, obj_bbox, z_bg, z_bg_mean, z_bg_sig,
+            x_hat_recon, z_l, z_l_mean, z_l_sig, x_hat)
+
+
 def get_spair_model(config) -> nn.Module:
     """Model factory mirroring spair/spair.py:8-17 on config.model."""
     image_hw = (config.image_size[0], config.image_size[1])
@@ -201,6 +269,18 @@ def get_spair_model(config) -> nn.Module:
             concat_z_what=config.concat_z_what,
             concat_backbone=config.concat_backbone,
             concat_z_bg=config.concat_z_bg,
+        )
+    if config.model == "lg_glimpse_spair":
+        return LGGlimpseSPAIR(
+            image_hw=image_hw,
+            object_size=config.object_size,
+            latent_size=config.latent_size,
+            tau=config.tau,
+            num_channel=num_channel,
+            bg_latent_size=config.bg_latent_size,
+            local_latent_size=config.local_latent_size,
+            patch_size=config.patch_size,
+            dense_bg=config.dense_bg,
         )
     if config.model in ("spair", "bg_spair"):
         return SPAIR(

@@ -150,6 +150,85 @@ class ObjEncoder(nn.Module):
         return z, z_mean, z_sig
 
 
+class ObjEncoderScramble(nn.Module):
+    """Per-glimpse encoder that also emits a per-glimpse local latent from a
+    patch-scrambled view of each glimpse.
+
+    Reference: spair/spair.py:275-338 (only reachable via the
+    ``lg_glimpse_spair`` model, which the reference names but never defines —
+    spair/spair.py:14-15 raises NameError). Design decisions where the dead
+    reference code is incoherent:
+      - the reference shares ONE patch permutation across all glimpses in the
+        batch (tf.random.shuffle of indices, gathered on axis=1); we keep that
+        (cheap, and the scramble only needs to destroy global structure);
+      - the reference returns raw patch-major ``patches`` reshaped to image
+        shape as the x_hat target (spair/spair.py:336); we return the properly
+        reassembled scrambled glimpse instead, so the target is an image.
+    """
+
+    latent_size: int
+    patch_size: int
+    local_latent_size: int
+
+    @nn.compact
+    def __call__(self, glimpses: Array):
+        b, k, gh, gw, c = glimpses.shape
+        x = glimpses.reshape(b * k, gh, gw, c)
+
+        # Patch-scramble every glimpse with one shared permutation.
+        p = self.patch_size
+        nh, nw = gh // p, gw // p
+        n = nh * nw
+        patches = x.reshape(b * k, nh, p, nw, p, c).transpose(0, 1, 3, 2, 4, 5)
+        patches = patches.reshape(b * k, n, p, p, c)
+        perm = jax.random.permutation(self.make_rng("sample"), n)
+        patches = jnp.take(patches, perm, axis=1)
+        x_hat = patches.reshape(b * k, nh, nw, p, p, c).transpose(0, 1, 3, 2, 4, 5)
+        x_hat = x_hat.reshape(b * k, gh, gw, c)
+
+        def vae_head(v, latent, prefix):
+            v = nn.relu(Conv(32, (3, 3), strides=2, padding="SAME", name=f"{prefix}_c1")(v))
+            v = nn.relu(Conv(64, (3, 3), strides=2, padding="SAME", name=f"{prefix}_c2")(v))
+            v = flatten(v)
+            v = nn.relu(Dense(self.latent_size * 2, name=f"{prefix}_d1")(v))
+            mean = Dense(latent, name=f"{prefix}_mu")(v)
+            sig = nn.softplus(Dense(latent, name=f"{prefix}_sigma")(v))
+            return mean, sig
+
+        z_what_mean, z_what_sigma = vae_head(x, self.latent_size, "what")
+        z_what = reparameterize(self.make_rng("sample"), z_what_mean, z_what_sigma)
+
+        z_l_mean, z_l_sig = vae_head(x_hat, self.local_latent_size, "local")
+        z_l = reparameterize(self.make_rng("sample"), z_l_mean, z_l_sig)
+
+        x_hat = x_hat.reshape(b, k, gh, gw, c)
+        return z_what, z_what_mean, z_what_sigma, z_l, z_l_mean, z_l_sig, x_hat
+
+
+class GlimpseDecoder(nn.Module):
+    """z_l -> scrambled-glimpse reconstruction [B*K, os, os, C] (sigmoid).
+
+    Companion to ObjEncoderScramble for the lg_glimpse_spair local path
+    (the reference's per-image ImageDecoder counterpart, scoped to glimpses).
+    """
+
+    object_size: int
+    num_channel: int
+    latent_size: int
+
+    @nn.compact
+    def __call__(self, z_l: Array) -> Array:
+        os_ = self.object_size
+        x = nn.relu(Dense(self.latent_size * 2)(z_l))
+        x = nn.relu(Dense(os_ // 4 * (os_ // 4) * 32)(x))
+        x = x.reshape(-1, os_ // 4, os_ // 4, 32)
+        x = nn.relu(Conv(64, (3, 3), padding="SAME")(x))
+        x = resize_bilinear(x, os_ // 2, os_ // 2)
+        x = nn.relu(Conv(32, (3, 3), padding="SAME")(x))
+        x = resize_bilinear(x, os_, os_)
+        return nn.sigmoid(Conv(self.num_channel, (3, 3), padding="SAME")(x))
+
+
 class ObjDecoder(nn.Module):
     """z_what -> RGB object + alpha, both sigmoid (spair/spair.py:341-366)."""
 
@@ -184,6 +263,9 @@ class SpairEncoder(nn.Module):
     latent_size: int
     tau: float
     concat: bool = False  # inject tiled z_l into per-cell features
+    glimpse_local: bool = False  # per-glimpse local latents (lg_glimpse_spair)
+    patch_size: int = 4
+    local_latent_size: int = 64
 
     n_z_where: int = 4
     n_pass_through: int = 8
@@ -202,7 +284,11 @@ class SpairEncoder(nn.Module):
         self.depth_d2 = Dense(1 * 2 + self.n_pass_through)
         self.pres_d1 = Dense(64)
         self.pres_d2 = Dense(1)
-        self.obj_encoder = ObjEncoder(self.latent_size)
+        if self.glimpse_local:
+            self.obj_encoder = ObjEncoderScramble(
+                self.latent_size, self.patch_size, self.local_latent_size)
+        else:
+            self.obj_encoder = ObjEncoder(self.latent_size)
         if self.concat:
             self.zl_d1 = Dense(16)
             self.zl_d2 = Dense(16)
@@ -237,7 +323,11 @@ class SpairEncoder(nn.Module):
 
         # Attr network: crop glimpses, encode objects.
         all_glimpses, _ = stn_crop(x, z_where_grid, (self.object_size, self.object_size))
-        z_what, z_what_mean, z_what_sigma = self.obj_encoder(all_glimpses)
+        if self.glimpse_local:
+            (z_what, z_what_mean, z_what_sigma, zl_g, zl_g_mean, zl_g_sig,
+             x_hat_glimpses) = self.obj_encoder(all_glimpses)
+        else:
+            z_what, z_what_mean, z_what_sigma = self.obj_encoder(all_glimpses)
 
         partial_program = jnp.concatenate([partial_program, z_what], axis=1)
         layer_inp = jnp.concatenate([features, features_1, partial_program], axis=1)
@@ -260,13 +350,16 @@ class SpairEncoder(nn.Module):
         z_pres = nn.sigmoid(z_pres_pre_sigmoid)
 
         grid = lambda v: v.reshape(b, gh, gw, -1)
-        return (
+        base = (
             grid(z_what), grid(z_what_mean), grid(z_what_sigma),
             z_where_grid, grid(z_where_mean), grid(z_where_sigma),
             grid(z_depth), grid(z_depth_mean), grid(z_depth_sigma),
             grid(z_pres), grid(z_pres_logits), grid(z_pres_pre_sigmoid),
             all_glimpses,
         )
+        if self.glimpse_local:
+            return base + (grid(zl_g), grid(zl_g_mean), grid(zl_g_sig), x_hat_glimpses)
+        return base
 
 
 class SpairDecoder(nn.Module):

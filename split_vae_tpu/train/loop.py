@@ -25,7 +25,7 @@ from split_vae_tpu.core.state import create_train_state
 from split_vae_tpu.data import get_vae_dataset
 from split_vae_tpu.data.loader import device_prefetch, iterate_batches
 from split_vae_tpu.data.multicub import get_multicub
-from split_vae_tpu.models.spair import LGSPAIR, get_spair_model
+from split_vae_tpu.models.spair import LGSPAIR, LGGlimpseSPAIR, get_spair_model
 from split_vae_tpu.models.vae import GMVae, LGGMVae, LGVae
 from split_vae_tpu.ops.patches import augmented_channels
 from split_vae_tpu.parallel.mesh import batch_sharding, create_mesh, shard_state
@@ -296,6 +296,10 @@ def train_spair(config, max_steps: Optional[int] = None):
                     if isinstance(model, LGSPAIR):
                         sviz.x_hat_reconstruction_test(model.apply, state.params, imgs, k4,
                                                        filename=suffix, filepath=run_dir)
+                    if isinstance(model, LGGlimpseSPAIR):
+                        sviz.glimpses_local_reconstruction_test(
+                            model.apply, state.params, imgs, k4,
+                            filename=suffix, filepath=run_dir)
                 except Exception as e:
                     print(f"[viz] skipped: {type(e).__name__}: {e}")
 

@@ -208,6 +208,31 @@ def spair_loss(
                 "z_what_kl_loss": z_what_kl,
             }
         )
+    elif config.model == "lg_glimpse_spair":
+        # spair/trainer.py:203-214 (the loss branch the reference ships for its
+        # missing model class).
+        z_bg_kl = gaussian_kl_safe(out.z_bg_mean, out.z_bg_sig)
+        z_l_kl = gaussian_kl_safe(out.z_l_mean, out.z_l_sig)
+        z_what_concat_kl = gaussian_kl_safe(
+            jnp.concatenate([out.z_what_mean, out.z_l_mean], axis=-1),
+            jnp.concatenate([out.z_what_sigma, out.z_l_sig], axis=-1),
+        )
+        x_hat_recon_loss = mean_sum(
+            bernoulli_xent(jax.lax.stop_gradient(out.x_hat), out.x_hat_recon))
+        total = (
+            config.z_bg_beta * z_bg_kl
+            + x_hat_recon_loss
+            + config.reconstruction_weight * x_recon_loss
+            + config.beta * (
+                config.z_what_beta * z_what_concat_kl
+                + z_depth_kl + z_where_kl + z_where_zoom_kl + z_pres_kl)
+        )
+        metrics.update({
+            "z_bg_kl_loss": z_bg_kl,
+            "z_l_kl_loss": z_l_kl,
+            "x_hat_recon_loss": x_hat_recon_loss,
+            "z_what_kl_loss": z_what_concat_kl,
+        })
     elif config.model == "bg_spair":
         # spair/trainer.py:217-224
         z_bg_kl = gaussian_kl_safe(out.z_bg_mean, out.z_bg_sig)

@@ -14,6 +14,7 @@ and spair/trainer.py:136-308):
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Callable, Optional
 
@@ -37,6 +38,18 @@ def normalize_images(batch: Array, mode: str) -> Array:
         x = batch.astype(jnp.float32) / 255.0
         return x * 2.0 - 1.0 if mode == "tanh" else x
     return batch.astype(jnp.float32)
+
+
+def matmul_precision(config):
+    """Precision context from config.compute_dtype.
+
+    'float32' keeps the backend default (on TPU: bf16 multiplies with f32
+    accumulation for f32 operands — the standard fast path); 'bfloat16'
+    additionally pins single-pass bf16 for every dot/conv traced inside.
+    """
+    if getattr(config, "compute_dtype", "float32") == "bfloat16":
+        return jax.default_matmul_precision("bfloat16")
+    return contextlib.nullcontext()
 
 
 def _vae_loss_fn(model_kind: str, config):
@@ -73,7 +86,8 @@ def make_vae_train_step(config) -> Callable:
             )
             return loss_of(out, images)
 
-        (_, metrics), grads = jax.value_and_grad(loss, has_aux=True)(state.params)
+        with matmul_precision(config):
+            (_, metrics), grads = jax.value_and_grad(loss, has_aux=True)(state.params)
         state = state.apply_gradients(grads)
         return state, metrics
 
@@ -122,7 +136,8 @@ def make_spair_train_step(config) -> Callable:
             total, metrics = losses.spair_loss(out, images, config, step_f, training=True)
             return total, (metrics, out)
 
-        (_, (metrics, out)), grads = jax.value_and_grad(loss, has_aux=True)(state.params)
+        with matmul_precision(config):
+            (_, (metrics, out)), grads = jax.value_and_grad(loss, has_aux=True)(state.params)
         state = state.apply_gradients(grads)
         return state, metrics, out, images
 

@@ -168,11 +168,13 @@ def generate_cluster(model, params, key, vary, filename=None, filepath="."):
         z_g = pm + ps * jax.random.normal(k_g, (100, model.global_latent_dims))
         z_l = jnp.tile(jax.random.normal(k_l, (1, model.local_latent_dims)), (100, 1))
     elif vary == "y_zg":
+        m = min(10, model.y_size)  # reference assumes y_size >= 10
         ys = jax.nn.one_hot(
-            jax.random.permutation(k_y, model.y_size)[:10], model.y_size)
-        pm, ps = _prior_for_y(model, params, ys)  # [10, D]
-        eps = jax.random.normal(k_g, (10, 10, model.global_latent_dims))
-        z_g = (pm[:, None, :] + ps[:, None, :] * eps).reshape(100, -1)
+            jax.random.permutation(k_y, model.y_size)[:m], model.y_size)
+        pm, ps = _prior_for_y(model, params, ys)  # [m, D]
+        per = -(-100 // m)
+        eps = jax.random.normal(k_g, (m, per, model.global_latent_dims))
+        z_g = (pm[:, None, :] + ps[:, None, :] * eps).reshape(m * per, -1)[:100]
         z_l = jnp.tile(jax.random.normal(k_l, (1, model.local_latent_dims)), (100, 1))
     else:
         raise ValueError(vary)
@@ -180,6 +182,66 @@ def generate_cluster(model, params, key, vary, filename=None, filepath="."):
     name = filename or f"generate_cluster_{vary}"
     canvas = grid_canvas(np.asarray(x_gen), 10, 10)
     _save(canvas, os.path.join(filepath, f"{name}.png"))
+    return canvas
+
+
+def generate_traverse(model, params, filepath=".", span=3.0, n=30):
+    """2-D latent traversal grid (vae/visualizer.py:183-198; CLI-unreachable
+    in the reference, kept for API parity). Requires a 2-latent GMVae-style
+    single-path model with total latent dims == 2."""
+    if model.global_latent_dims != 2:
+        raise NotImplementedError("Implemented for 2D latent only")
+    zs = np.linspace(-span, span, n)
+    z = jnp.asarray([[z1, z2] for z1 in zs for z2 in zs], jnp.float32)
+    imgs = np.asarray(_decode(model, params, z))
+    canvas = grid_canvas(imgs, n, n)
+    _save(canvas, os.path.join(filepath, "latent_space.png"))
+    return canvas
+
+
+def plot_latent_dims(model, params, batches, key, filepath=".", variational=True):
+    """Per-dimension latent histograms + 2-D scatter (vae/visualizer.py:128-153;
+    CLI-unreachable in the reference, kept for API parity)."""
+    zs = []
+    for images in batches:
+        key, sub = jax.random.split(key)
+        z = model.apply({"params": params}, jnp.asarray(images), method="encode",
+                        rngs={"sample": sub})
+        if isinstance(z, tuple):
+            z = z[0]
+        zs.append(np.asarray(z))
+    z = np.concatenate(zs)
+    tag = "var" if variational else "det"
+    plt.figure()
+    plt.scatter(z[:, 0], z[:, 1], s=1)
+    plt.savefig(os.path.join(filepath, f"2d_latent_{tag}.png"))
+    plt.close()
+    for i in range(min(z.shape[1], 16)):
+        plt.figure()
+        plt.hist(z[:, i])
+        plt.savefig(os.path.join(filepath, f"latent_{tag}_{i}.png"))
+        plt.close()
+    return z
+
+
+def unseen_cluster(model, params, images, key, filename="", filepath=".", n=10):
+    """Per-input cluster-prior samples for GMVae (vae/visualizer.py:442-479;
+    CLI-unreachable in the reference, kept for API parity)."""
+    x_test = np.asarray(images[:n])
+    h, w = x_test.shape[1:3]
+    key, k1, k2 = jax.random.split(key, 3)
+    _, y_logits = model.apply({"params": params}, jnp.asarray(x_test), method="get_y",
+                              rngs={"sample": k1})
+    discrete_y = jax.nn.one_hot(jnp.argmax(y_logits, axis=1), model.y_size)
+    pm, ps = _prior_for_y(model, params, discrete_y)
+    eps = jax.random.normal(k2, (n, 10, model.global_latent_dims))
+    z_x = (pm[:, None, :] + ps[:, None, :] * eps).reshape(10 * n, -1)
+    x_recon = np.asarray(_decode(model, params, z_x))
+    canvas = np.empty((h * 11, w * n, 3))
+    for i in range(n):
+        canvas[0:h, i * w:(i + 1) * w] = to_unit(x_test[i, :, :, :3])
+        canvas[h:, i * w:(i + 1) * w] = x_recon[i * 10:(i + 1) * 10].reshape(h * 10, w, 3)
+    _save(canvas, os.path.join(filepath, f"unseen_cluster{filename}.png"))
     return canvas
 
 

@@ -131,6 +131,39 @@ def glimpses_reconstruction_test(apply_fn, params, images, key, filename="",
     return cg
 
 
+def glimpses_local_reconstruction_test(apply_fn, params, images, key, filename="",
+                                       filepath=".", n=10):
+    """Scrambled glimpse vs local-path recon grids (spair/visualizer.py:204-257).
+
+    Only meaningful for lg_glimpse_spair (out.x_hat / out.x_hat_recon are
+    per-glimpse [B, K, os, os, C]).
+    """
+    images = np.asarray(images[:n])
+    n = images.shape[0]
+    out = _forward(apply_fn, params, images, key)
+    channel = min(3, images.shape[3])
+    num_cells = out.z_where.shape[1] * out.z_where.shape[2]
+    os_ = out.obj_recon_alpha.shape[2]
+    x_hat = np.asarray(out.x_hat)[:n]
+    x_hat_recon = np.asarray(out.x_hat_recon)[:n]
+
+    cg = np.empty((os_ * num_cells, os_ * n, channel))
+    cr = np.empty_like(cg)
+    for i in range(n):
+        cg[:, i * os_:(i + 1) * os_, :] = x_hat[i].reshape(num_cells * os_, os_, channel)
+        cr[:, i * os_:(i + 1) * os_, :] = x_hat_recon[i].reshape(num_cells * os_, os_, channel)
+
+    f, ax = plt.subplots(1, 2, figsize=(8, 12))
+    for a, (c, title) in zip(ax, [(cg, "Glimpses"), (cr, "Glimpses reconstruction")]):
+        a.imshow(np.squeeze(np.clip(c, 0, 1)), cmap="gray")
+        a.set_title(title)
+        a.tick_params(top=False, bottom=False, left=False, right=False,
+                      labelleft=False, labelbottom=False)
+    plt.savefig(os.path.join(filepath, f"glimpses_local{filename}.png"), dpi=150)
+    plt.close(f)
+    return cg
+
+
 def x_hat_reconstruction_test(apply_fn, params, images, key, filename="",
                               filepath=".", n=10):
     """LG-SPAIR local-path recon strip (spair/visualizer.py:259-285)."""

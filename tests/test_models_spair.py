@@ -76,11 +76,29 @@ def test_lgspair_forward_variants(flags):
 
 
 def test_get_spair_model_factory():
+    from split_vae_tpu.models.spair import LGGlimpseSPAIR
+
     assert isinstance(get_spair_model(_cfg(model="spair")), SPAIR)
     assert get_spair_model(_cfg(model="bg_spair")).bg
     assert isinstance(get_spair_model(_cfg(model="lg_spair")), LGSPAIR)
+    # The reference NameErrors here (spair/spair.py:14-15); we ship a working one.
+    assert isinstance(get_spair_model(_cfg(model="lg_glimpse_spair")), LGGlimpseSPAIR)
     with pytest.raises(NotImplementedError):
-        get_spair_model(_cfg(model="lg_glimpse_spair"))
+        get_spair_model(_cfg(model="nonexistent"))
+
+
+def test_lg_glimpse_spair_forward_and_loss():
+    cfg = _cfg(model="lg_glimpse_spair", patch_size=8)
+    model = get_spair_model(cfg)
+    x = jnp.array(np.random.RandomState(0).rand(B, S, S, 3), jnp.float32)
+    variables = model.init(RNGS, x)
+    out = model.apply(variables, x, True, rngs={"sample": jax.random.PRNGKey(2)})
+    assert out.x_hat.shape == (B, 16, OS, OS, 3)
+    assert out.x_hat_recon.shape == (B, 16, OS, OS, 3)
+    assert out.z_l.shape == (B, 4, 4, 8)
+    total, metrics = losses.spair_loss(out, x, cfg, jnp.float32(5.0), training=True)
+    assert np.isfinite(float(total))
+    assert "z_bg_kl_loss" in metrics and "x_hat_recon_loss" in metrics
 
 
 @pytest.mark.parametrize("model_name,flags", [
