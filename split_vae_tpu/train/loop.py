@@ -249,7 +249,7 @@ def train_spair(config, max_steps: Optional[int] = None):
     step = int(state.step)
     while step <= total_steps:
         batch = next(train_iter)
-        state, m, last_out, last_images = train_step(state, batch)
+        state, m = train_step(state, batch)
         train_metrics.update(m)
         timer.add(config.batch_size)
         step = int(step) + 1
@@ -262,8 +262,12 @@ def train_spair(config, max_steps: Optional[int] = None):
             train_metrics.reset()
 
             try:
+                # Forward the last train batch once (outside the lean train
+                # step) for the decomposition plot (spair/trainer.py:331-378).
+                eval_key, k = jax.random.split(eval_key)
+                plot_out, _, plot_images = eval_step(state.params, k, batch)
                 sviz.train_decomposition_plot(
-                    jax.device_get(last_images), jax.device_get(last_out),
+                    jax.device_get(plot_images), jax.device_get(plot_out),
                     filename=str(step), filepath=run_dir)
             except Exception as e:
                 print(f"[viz] train plot skipped: {type(e).__name__}: {e}")

@@ -148,7 +148,7 @@ def test_spair_train_step_runs_and_improves():
     batch = jnp.array(canvas)
     first = None
     for i in range(60):
-        state, metrics, out, images = step(state, batch)
+        state, metrics = step(state, batch)
         if i == 0:
             first = float(metrics["x_recon_loss"])
     last = float(metrics["x_recon_loss"])
