@@ -109,6 +109,8 @@ class SpairConfig(BaseConfig):
     # CLI; dotdict made them default-None/falsy (spair/spair.py:58,63).
     bg_model: bool = False
     concat_z_bg: bool = False
+    # TPU-native option: fused Pallas paste+composite on the training path.
+    fused_render: bool = False
 
     # derived (spair/main.py:72-73): [H, W, C]
     image_size: Tuple[int, int, int] = (48, 48, 3)
@@ -138,7 +140,7 @@ _FLAG_STYLE = {
     # Flags spelled with a single dash + store_true in the reference.
     "viz", "no_label", "allow_growth", "split_z_l", "dense_bg", "dense_local",
     "concat_bg", "concat_z_what", "concat_backbone", "synthetic_data",
-    "debug_nans", "bg_model", "concat_z_bg",
+    "debug_nans", "bg_model", "concat_z_bg", "fused_render",
 }
 
 

@@ -7,10 +7,16 @@ models :110-244). The reference's ``bg_spair`` is SPAIR with ``bg=True``;
 
 Reference quirks handled deliberately:
   - ``lg_glimpse_spair`` references a class that does not exist in the
-    reference (spair/spair.py:14-15 -> NameError); we do not ship dead code.
+    reference (spair/spair.py:14-15 -> NameError); LGGlimpseSPAIR below is a
+    working implementation assembled from the loss branch and visualizer the
+    reference ships for it.
   - LGSPAIR reads ``config.bg_model`` / ``config.concat_z_bg`` which are not
     CLI flags and default to falsy via dotdict (spair/spair.py:58,63); here
     they are explicit boolean fields defaulting to False.
+
+TPU-native option: ``fused_render=True`` routes the training forward through
+the fused Pallas paste+composite kernel (ops/pallas/render_fused.py) so the
+[B, K, H, W, C+1] per-cell canvases never materialize in HBM.
 """
 
 from __future__ import annotations
@@ -79,6 +85,7 @@ class SPAIR(nn.Module):
     num_channel: int = 3
     bg: bool = False
     bg_latent_size: int = 4
+    fused_render: bool = False  # Pallas fused paste+composite on the train path
 
     def setup(self):
         self.encoder = SpairEncoder(self.object_size, self.latent_size, self.tau)
@@ -94,17 +101,25 @@ class SPAIR(nn.Module):
          z_depth, z_depth_mean, z_depth_sigma, z_pres, z_pres_logits,
          z_pres_pre_sigmoid, all_glimpses) = enc
 
-        obj_recon_unnorm, obj_recon_alpha, obj_full, obj_bbox = self.decoder(z_what, z_where)
-
         if self.bg:
             bg_recon, z_bg, z_bg_mean, z_bg_sig = self.bg_model(inputs)
         else:
             bg_recon, z_bg, z_bg_mean, z_bg_sig = 0.0, None, None, None
 
-        key = self.make_rng("sample") if training else None
-        x_recon = render(
-            obj_full, bg_recon, z_depth, z_pres, z_pres_logits, key, training, self.num_channel
-        )
+        if training and self.fused_render:
+            from split_vae_tpu.nn.spair_nets import fused_decode_render
+
+            obj_recon_unnorm, obj_recon_alpha, obj_bbox, x_recon = fused_decode_render(
+                self.decoder, self.make_rng("sample"), z_what, z_where, z_depth,
+                z_pres, bg_recon, self.num_channel, self.image_hw)
+            obj_full = None
+        else:
+            obj_recon_unnorm, obj_recon_alpha, obj_full, obj_bbox = self.decoder(
+                z_what, z_where)
+            key = self.make_rng("sample") if training else None
+            x_recon = render(
+                obj_full, bg_recon, z_depth, z_pres, z_pres_logits, key, training,
+                self.num_channel)
         return SpairOutput(
             x_recon, z_what, z_what_mean, z_what_sigma, z_where, z_where_mean,
             z_where_sigma, z_depth, z_depth_mean, z_depth_sigma, z_pres,
@@ -128,6 +143,7 @@ class LGSPAIR(nn.Module):
     concat_z_what: bool = False
     concat_backbone: bool = False
     concat_z_bg: bool = False
+    fused_render: bool = False
 
     def setup(self):
         self.encoder = SpairEncoder(
@@ -169,12 +185,20 @@ class LGSPAIR(nn.Module):
             tiled = jnp.tile(z_l[:, None, None, :], (1, gh, gw, 1))
             z_what = jnp.concatenate([z_what, tiled], axis=-1)
 
-        obj_recon_unnorm, obj_recon_alpha, obj_full, obj_bbox = self.decoder(z_what, z_where)
+        if training and self.fused_render:
+            from split_vae_tpu.nn.spair_nets import fused_decode_render
 
-        key = self.make_rng("sample") if training else None
-        x_recon = render(
-            obj_full, bg_recon, z_depth, z_pres, z_pres_logits, key, training, self.num_channel
-        )
+            obj_recon_unnorm, obj_recon_alpha, obj_bbox, x_recon = fused_decode_render(
+                self.decoder, self.make_rng("sample"), z_what, z_where, z_depth,
+                z_pres, bg_recon, self.num_channel, self.image_hw)
+            obj_full = None
+        else:
+            obj_recon_unnorm, obj_recon_alpha, obj_full, obj_bbox = self.decoder(
+                z_what, z_where)
+            key = self.make_rng("sample") if training else None
+            x_recon = render(
+                obj_full, bg_recon, z_depth, z_pres, z_pres_logits, key, training,
+                self.num_channel)
         return SpairOutput(
             x_recon, z_what, z_what_mean, z_what_sigma, z_where, z_where_mean,
             z_where_sigma, z_depth, z_depth_mean, z_depth_sigma, z_pres,
@@ -206,6 +230,7 @@ class LGGlimpseSPAIR(nn.Module):
     local_latent_size: int = 64
     patch_size: int = 4
     dense_bg: bool = False
+    fused_render: bool = False
 
     def setup(self):
         from split_vae_tpu.nn.spair_nets import GlimpseDecoder
@@ -238,11 +263,20 @@ class LGGlimpseSPAIR(nn.Module):
         x_hat_recon = x_hat_recon.reshape(
             b, gh * gw, self.object_size, self.object_size, self.num_channel)
 
-        obj_recon_unnorm, obj_recon_alpha, obj_full, obj_bbox = self.decoder(z_what, z_where)
-        key = self.make_rng("sample") if training else None
-        x_recon = render(
-            obj_full, bg_recon, z_depth, z_pres, z_pres_logits, key, training,
-            self.num_channel)
+        if training and self.fused_render:
+            from split_vae_tpu.nn.spair_nets import fused_decode_render
+
+            obj_recon_unnorm, obj_recon_alpha, obj_bbox, x_recon = fused_decode_render(
+                self.decoder, self.make_rng("sample"), z_what, z_where, z_depth,
+                z_pres, bg_recon, self.num_channel, self.image_hw)
+            obj_full = None
+        else:
+            obj_recon_unnorm, obj_recon_alpha, obj_full, obj_bbox = self.decoder(
+                z_what, z_where)
+            key = self.make_rng("sample") if training else None
+            x_recon = render(
+                obj_full, bg_recon, z_depth, z_pres, z_pres_logits, key, training,
+                self.num_channel)
         return SpairOutput(
             x_recon, z_what, z_what_mean, z_what_sigma, z_where, z_where_mean,
             z_where_sigma, z_depth, z_depth_mean, z_depth_sigma, z_pres,
@@ -269,6 +303,7 @@ def get_spair_model(config) -> nn.Module:
             concat_z_what=config.concat_z_what,
             concat_backbone=config.concat_backbone,
             concat_z_bg=config.concat_z_bg,
+            fused_render=config.fused_render,
         )
     if config.model == "lg_glimpse_spair":
         return LGGlimpseSPAIR(
@@ -281,6 +316,7 @@ def get_spair_model(config) -> nn.Module:
             local_latent_size=config.local_latent_size,
             patch_size=config.patch_size,
             dense_bg=config.dense_bg,
+            fused_render=config.fused_render,
         )
     if config.model in ("spair", "bg_spair"):
         return SPAIR(
@@ -291,5 +327,6 @@ def get_spair_model(config) -> nn.Module:
             num_channel=num_channel,
             bg=config.model == "bg_spair",
             bg_latent_size=config.bg_latent_size,
+            fused_render=config.fused_render,
         )
     raise NotImplementedError(f"Model type not implemented: {config.model}")

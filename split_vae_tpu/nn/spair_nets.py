@@ -374,7 +374,7 @@ class SpairDecoder(nn.Module):
     latent_size: int
 
     @nn.compact
-    def __call__(self, z_what: Array, z_where: Array):
+    def __call__(self, z_what: Array, z_where: Array, fused: bool = False):
         b, gh, gw, d = z_what.shape
         k = gh * gw
         obj_decoder = ObjDecoder(self.object_size, self.num_channel, self.latent_size)
@@ -383,8 +383,45 @@ class SpairDecoder(nn.Module):
         obj_recon_unnorm = rgb.reshape(b, k, os_, os_, self.num_channel)
         obj_recon_alpha = alpha.reshape(b, k, os_, os_, 1)
         concat = jnp.concatenate([obj_recon_unnorm, obj_recon_alpha], axis=-1)
+        if fused:
+            # Defer pasting to the fused Pallas paste+render kernel: return the
+            # interp weights instead of materializing per-cell canvases.
+            from split_vae_tpu.ops.stn import paste_interp_weights
+
+            wy, wx, obj_bbox_mask = paste_interp_weights(
+                z_where, self.image_hw, (os_, os_))
+            return obj_recon_unnorm, obj_recon_alpha, (wy, wx), obj_bbox_mask
         obj_full_recon_unnorm, obj_bbox_mask = stn_paste(concat, z_where, self.image_hw)
         return obj_recon_unnorm, obj_recon_alpha, obj_full_recon_unnorm, obj_bbox_mask
+
+
+def fused_decode_render(decoder, rng_key, z_what, z_where, z_depth, z_pres,
+                        bg_recon, num_channel: int, image_hw: Tuple[int, int],
+                        noise_scale: float = 0.01):
+    """Training-time decode + paste + composite via the fused Pallas kernel.
+
+    Identical math to decoder(...) -> render(training=True) but the per-cell
+    full canvases never hit HBM. Returns (obj_recon_unnorm, obj_recon_alpha,
+    obj_bbox_mask, x_recon).
+    """
+    from split_vae_tpu.ops.pallas.render_fused import fused_paste_render
+
+    obj_ru, obj_ra, (wy, wx), bbox = decoder(z_what, z_where, fused=True)
+    concat = jnp.concatenate([obj_ru, obj_ra], axis=-1)
+    b = concat.shape[0]
+    zp = z_pres.reshape(b, -1)
+    wd = (jax.nn.sigmoid(-z_depth) + 0.5).reshape(b, -1)
+    bg_img = jnp.broadcast_to(
+        jnp.asarray(bg_recon, jnp.float32),
+        (b, image_hw[0], image_hw[1], num_channel))
+    seed = jax.random.randint(rng_key, (), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
+    interpret = jax.devices()[0].platform != "tpu"
+    # The in-kernel PRNG has no CPU interpreter rule; render noise (a train-time
+    # regularizer, spair/spair.py:539) is dropped when interpreting on CPU.
+    noise = 0.0 if interpret else noise_scale
+    x_recon = fused_paste_render(concat, wy, wx, zp, wd, bg_img, seed,
+                                 noise, interpret)
+    return obj_ru, obj_ra, bbox, x_recon
 
 
 def render(

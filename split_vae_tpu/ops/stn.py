@@ -161,6 +161,36 @@ def stn_crop(
     return out, bbox
 
 
+def paste_interp_weights(
+    z_where: Array,
+    out_hw: Tuple[int, int],
+    in_hw: Tuple[int, int],
+    cell_ratio: float = DEFAULT_CELL_RATIO,
+    eps: float = 1e-5,
+) -> Tuple[Array, Array, Array]:
+    """Interpolation weight matrices for the inverse (paste) transform.
+
+    Returns (wy [B,K,H,h], wx [B,K,W,w], bbox [B,K,4]) so callers can feed the
+    fused Pallas paste+render kernel while keeping the z_where -> weights chain
+    in jnp autodiff.
+    """
+    h_in, w_in = in_hw
+    ho, wo = out_hw
+    sx, sy, tx, ty = zwhere_to_params(z_where, cell_ratio)
+    bbox = zwhere_to_bbox(sx, sy, tx, ty)
+
+    sx_i = 1.0 / (sx + eps)
+    sy_i = 1.0 / (sy + eps)
+    tx_i = -tx / (sx + eps)
+    ty_i = -ty / (sy + eps)
+
+    xs = _sample_coords(sx_i, tx_i, wo, w_in)
+    ys = _sample_coords(sy_i, ty_i, ho, h_in)
+    wx = _interp_matrix(xs, w_in)
+    wy = _interp_matrix(ys, h_in)
+    return wy, wx, bbox
+
+
 def stn_paste(
     objs: Array,
     z_where: Array,

@@ -1,0 +1,134 @@
+"""Fused Pallas paste+render vs the jnp reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from split_vae_tpu.nn.spair_nets import render
+from split_vae_tpu.ops.pallas.render_fused import fused_paste_render
+from split_vae_tpu.ops.stn import paste_interp_weights, stn_paste
+
+B, K, OS, S, C = 2, 16, 32, 48, 3
+
+
+def _inputs(seed=0):
+    rng = np.random.RandomState(seed)
+    objs = jnp.asarray(rng.rand(B, K, OS, OS, C + 1).astype(np.float32))
+    z_where = jnp.asarray(rng.randn(B, 4, 4, 4).astype(np.float32))
+    z_pres = jnp.asarray(rng.rand(B, K).astype(np.float32))
+    z_depth = jnp.asarray(rng.randn(B, K).astype(np.float32))
+    depth_w = jax.nn.sigmoid(-z_depth) + 0.5
+    bg = jnp.asarray(rng.rand(B, S, S, C).astype(np.float32))
+    return objs, z_where, z_pres, depth_w, bg
+
+
+def _oracle(objs, z_where, z_pres, depth_w, bg):
+    """Unfused jnp path with identical math (no noise)."""
+    full, _ = stn_paste(objs, z_where, (S, S))
+    rgb = full[..., :C]
+    alpha = jnp.clip(full[..., C:], 1e-8, 1.0)
+    zp = z_pres[:, :, None, None, None]
+    wd = depth_w[:, :, None, None, None]
+    imp = zp * alpha * wd
+    transp = zp * alpha
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+    s1 = jnp.sum(imp * rgb, axis=1)
+    s2 = jnp.sum(imp, axis=1)
+    s3 = jnp.sum(transp * imp, axis=1)
+    d = s2 + 1e-8
+    return (s3 / d) * (s1 / d) + (1.0 - s3 / d) * bg
+
+
+def _fused(objs, z_where, z_pres, depth_w, bg, noise=0.0):
+    wy, wx, _ = paste_interp_weights(z_where, (S, S), (OS, OS))
+    return fused_paste_render(objs, wy, wx, z_pres, depth_w, bg,
+                              jnp.int32(0), noise, True)
+
+
+def test_forward_matches_oracle():
+    objs, z_where, z_pres, depth_w, bg = _inputs()
+    got = _fused(objs, z_where, z_pres, depth_w, bg)
+    want = _oracle(objs, z_where, z_pres, depth_w, bg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_forward_matches_reference_render():
+    """End-to-end against nn.spair_nets.render (training math, zero noise)."""
+    objs, z_where, z_pres, depth_w, bg = _inputs(1)
+    full, _ = stn_paste(objs, z_where, (S, S))
+    z_depth_grid = -jnp.log(1.0 / jnp.clip(depth_w - 0.5, 1e-6, 1 - 1e-6) - 1.0)
+    want = render(full, bg, z_depth_grid.reshape(B, 4, 4, 1),
+                  z_pres.reshape(B, 4, 4, 1), None, jax.random.PRNGKey(0),
+                  training=True, num_channel=C)
+    # zero out the render noise by comparing against the noiseless oracle too
+    got = _fused(objs, z_where, z_pres, depth_w, bg)
+    # render adds N(0, 0.01) noise; the comparison is stochastic, so bound the
+    # bulk tightly and allow a tiny tail where noise interacts with clipping.
+    diff = np.abs(np.asarray(got) - np.asarray(want))
+    assert (diff < 0.05).mean() > 0.995, diff.max()
+    assert diff.max() < 0.3
+
+
+def test_gradients_match_oracle():
+    objs, z_where, z_pres, depth_w, bg = _inputs(2)
+
+    def loss_fused(objs, z_where, z_pres, depth_w, bg):
+        out = _fused(objs, z_where, z_pres, depth_w, bg)
+        return jnp.sum(out * jnp.cos(out))  # nontrivial cotangent
+
+    def loss_oracle(objs, z_where, z_pres, depth_w, bg):
+        out = _oracle(objs, z_where, z_pres, depth_w, bg)
+        return jnp.sum(out * jnp.cos(out))
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(objs, z_where, z_pres, depth_w, bg)
+    go = jax.grad(loss_oracle, argnums=(0, 1, 2, 3, 4))(objs, z_where, z_pres, depth_w, bg)
+    names = ["objs", "z_where", "z_pres", "depth_w", "bg"]
+    for name, a, b in zip(names, gf, go):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-4,
+                                   err_msg=f"grad mismatch: {name}")
+
+
+def test_fused_model_path_trains():
+    """SPAIR with fused_render=True: finite loss + grads close to unfused."""
+    from split_vae_tpu.core.config import SpairConfig
+    from split_vae_tpu.models.spair import get_spair_model
+    from split_vae_tpu.train import losses
+
+    cfg = SpairConfig(model="spair", latent_size=16, bg_latent_size=4,
+                      fused_render=True)
+    cfg.image_size = (S, S, 3)
+    model_f = get_spair_model(cfg)
+    model_u = get_spair_model(cfg.replace(fused_render=False))
+    x = jnp.asarray(np.random.RandomState(0).rand(B, S, S, 3).astype(np.float32))
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
+    variables = model_f.init(rngs, x)  # same param structure for both
+
+    def loss_with(model, params):
+        out = model.apply({"params": params}, x, True,
+                          rngs={"sample": jax.random.PRNGKey(2)})
+        total, _ = losses.spair_loss(out, x, cfg, jnp.float32(5.0), training=True)
+        return total
+
+    vf, gf = jax.value_and_grad(lambda p: loss_with(model_f, p))(variables["params"])
+    vu, gu = jax.value_and_grad(lambda p: loss_with(model_u, p))(variables["params"])
+    assert np.isfinite(float(vf))
+    # Same params, same sample rngs; only the render-noise realization differs.
+    np.testing.assert_allclose(float(vf), float(vu), rtol=0.02)
+    rel_errs = [
+        np.abs(a - b).max() / (np.abs(b).max() + 1e-6)
+        for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gu))
+    ]
+    assert np.median(rel_errs) < 0.2, rel_errs
+
+
+def test_value_and_grad_jit():
+    objs, z_where, z_pres, depth_w, bg = _inputs(3)
+
+    @jax.jit
+    def f(objs):
+        return jnp.sum(_fused(objs, z_where, z_pres, depth_w, bg))
+
+    v, g = jax.value_and_grad(f)(objs)
+    assert np.isfinite(float(v))
+    assert np.isfinite(np.asarray(g)).all()
