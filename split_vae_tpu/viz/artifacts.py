@@ -245,6 +245,48 @@ def unseen_cluster(model, params, images, key, filename="", filepath=".", n=10):
     return canvas
 
 
+# Extended hand-picked SVHN index set (vae/visualizer.py:389-391).
+SVHN_CLUSTER_IDX = np.array(
+    [26, 101, 3025, 3129, 3182, 3233, 3547, 3695, 10462, 10471, 10601, 10608,
+     16171, 16289, 16593, 16801, 101, 326, 333, 798, 841, 1189, 6186, 2651,
+     1437, 1826, 5536, 0, 3040, 3065, 3106, 3292, 3762, 10427, 10814, 16338,
+     16505, 16606, 16655, 16875, 16880])
+
+
+def unseen_cluster_lg_svhn(model, params, test_images, key, filename="", filepath="."):
+    """Hand-picked-digit cluster galleries for LGGMVae (vae/visualizer.py:385-413;
+    CLI-unreachable in the reference, kept for API parity).
+
+    ``test_images``: SVHN test array in [-1, 1], [N, 32, 32, 3].
+    """
+    idx = SVHN_CLUSTER_IDX % len(test_images)
+    x = test_images[idx]
+    x_test = np.concatenate([x, x], axis=-1)  # tile to 6 channels (ref :398)
+    h, w = x.shape[1:3]
+    _, y_logits = model.apply({"params": params}, jnp.asarray(x_test),
+                              method="get_y", rngs={"sample": key})
+    cluster = np.asarray(jnp.argmax(y_logits, axis=1))
+    canvas = None
+    for c in range(model.y_size):
+        members = x[cluster == c]
+        if len(members):
+            canvas = stack_rows(to_unit(members))
+            _save(canvas, os.path.join(filepath, f"unseen_cluster_{filename}_{c}.png"),
+                  figsize=(2 * len(members), 2))
+    return canvas
+
+
+def unseen_cluster_svhn(model, params, test_images, key, filename="", filepath=".", n=10):
+    """GMVae variant on hand-picked digits (vae/visualizer.py:481-517;
+    CLI-unreachable in the reference, kept for API parity)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    pick = SVHN_CLUSTER_IDX % len(test_images)
+    sel = np.asarray(jax.random.permutation(k1, len(pick)))[:n]
+    x_test = test_images[pick[sel]]
+    return unseen_cluster(model, params, np.tile(x_test, (1, 1, 1, 2)), k3,
+                          filename=filename, filepath=filepath, n=n)
+
+
 def unseen_cluster_lg(model, params, batches, key, filename="", filepath=".", per_cluster=7):
     """Per-cluster galleries sorted by confidence (vae/visualizer.py:318-383).
 
