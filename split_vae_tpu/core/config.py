@@ -36,6 +36,7 @@ class BaseConfig:
     debug_nans: bool = False
     log_every: int = 100
     synthetic_data: bool = False  # offline-friendly synthetic datasets
+    platform: Optional[str] = None  # override jax platform (e.g. 'cpu')
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)

@@ -95,7 +95,9 @@ class SPAIR(nn.Module):
         if self.bg:
             self.bg_model = BackgroundModel(self.image_hw, self.bg_latent_size, self.num_channel)
 
-    def __call__(self, inputs: Array, training: bool = False) -> SpairOutput:
+    def __call__(self, inputs: Array, training: bool = False,
+                 fused: bool = None) -> SpairOutput:
+        fused = self.fused_render if fused is None else fused
         enc = self.encoder(inputs)
         (z_what, z_what_mean, z_what_sigma, z_where, z_where_mean, z_where_sigma,
          z_depth, z_depth_mean, z_depth_sigma, z_pres, z_pres_logits,
@@ -106,7 +108,7 @@ class SPAIR(nn.Module):
         else:
             bg_recon, z_bg, z_bg_mean, z_bg_sig = 0.0, None, None, None
 
-        if training and self.fused_render:
+        if training and fused:
             from split_vae_tpu.nn.spair_nets import fused_decode_render
 
             obj_recon_unnorm, obj_recon_alpha, obj_bbox, x_recon = fused_decode_render(
@@ -165,7 +167,9 @@ class LGSPAIR(nn.Module):
             self.x_hat_encoder = ImageEncoder(self.local_latent_size)
             self.x_hat_decoder = ImageDecoder(self.image_hw, self.num_channel)
 
-    def __call__(self, inputs: Array, training: bool = False) -> SpairOutput:
+    def __call__(self, inputs: Array, training: bool = False,
+                 fused: bool = None) -> SpairOutput:
+        fused = self.fused_render if fused is None else fused
         x, x_hat = inputs[..., :3], inputs[..., 3:]
 
         z_l, z_l_mean, z_l_sig = self.x_hat_encoder(x_hat)
@@ -185,7 +189,7 @@ class LGSPAIR(nn.Module):
             tiled = jnp.tile(z_l[:, None, None, :], (1, gh, gw, 1))
             z_what = jnp.concatenate([z_what, tiled], axis=-1)
 
-        if training and self.fused_render:
+        if training and fused:
             from split_vae_tpu.nn.spair_nets import fused_decode_render
 
             obj_recon_unnorm, obj_recon_alpha, obj_bbox, x_recon = fused_decode_render(
@@ -249,7 +253,9 @@ class LGGlimpseSPAIR(nn.Module):
         self.x_hat_decoder = GlimpseDecoder(
             self.object_size, self.num_channel, self.local_latent_size)
 
-    def __call__(self, inputs: Array, training: bool = False) -> SpairOutput:
+    def __call__(self, inputs: Array, training: bool = False,
+                 fused: bool = None) -> SpairOutput:
+        fused = self.fused_render if fused is None else fused
         x = inputs[..., : self.num_channel]
         z_bg, z_bg_mean, z_bg_sig = self.bg_encoder(x)
         enc = self.encoder(x)
@@ -263,7 +269,7 @@ class LGGlimpseSPAIR(nn.Module):
         x_hat_recon = x_hat_recon.reshape(
             b, gh * gw, self.object_size, self.object_size, self.num_channel)
 
-        if training and self.fused_render:
+        if training and fused:
             from split_vae_tpu.nn.spair_nets import fused_decode_render
 
             obj_recon_unnorm, obj_recon_alpha, obj_bbox, x_recon = fused_decode_render(

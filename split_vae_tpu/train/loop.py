@@ -58,8 +58,14 @@ def build_vae_model(config, image_hw):
     return model, tx
 
 
+def _apply_platform(config):
+    if config.platform:
+        jax.config.update("jax_platforms", config.platform)
+
+
 def train_vae(config, max_steps: Optional[int] = None):
     """Train LGVae / LGGMVae / GMVae (vae/trainer.py:72-421)."""
+    _apply_platform(config)
     if config.debug_nans:
         jax.config.update("jax_debug_nans", True)
     run_dir = make_run_dir(config.output_dir)
@@ -206,6 +212,7 @@ def _vae_visualize(config, model, params, key, last_images, test_ds, run_dir, st
 
 def train_spair(config, max_steps: Optional[int] = None):
     """Train SPAIR / BG-SPAIR / LG-SPAIR (spair/trainer.py:112-424)."""
+    _apply_platform(config)
     if config.debug_nans:
         jax.config.update("jax_debug_nans", True)
     run_dir = make_run_dir(config.output_dir)

@@ -168,7 +168,10 @@ def make_spair_eval_step(config, apply_fn) -> Callable:
             images = augment_batch(k_aug, x, config.augmentation, config.patch_size)
         else:
             images = x
-        out = apply_fn({"params": params}, images, True, rngs={"sample": k_sample})
+        # fused=False: eval consumers (viz) need the materialized per-cell
+        # canvases that the fused kernel elides.
+        out = apply_fn({"params": params}, images, True, fused=False,
+                       rngs={"sample": k_sample})
         _, metrics = losses.spair_loss(out, images, config, jnp.float32(0.0), training=False)
         if labels is not None:
             pred_count = jnp.sum(

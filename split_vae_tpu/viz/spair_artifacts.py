@@ -27,7 +27,9 @@ def _sigmoid(x):
 
 
 def _forward(apply_fn, params, images, key):
-    return apply_fn({"params": params}, images, True, rngs={"sample": key})
+    # fused=False: viz needs the materialized per-cell canvases.
+    return apply_fn({"params": params}, images, True, fused=False,
+                    rngs={"sample": key})
 
 
 def reconstruction_test(apply_fn, params, images, key, filename="", filepath=".", n=10):
