@@ -23,7 +23,8 @@ from split_vae_tpu.core.state import TrainState
 _CKPT_RE = re.compile(r"checkpoint_(\d+)\.msgpack$")
 
 
-def save_checkpoint(ckpt_dir: str, state: TrainState) -> str:
+def save_checkpoint(ckpt_dir: str, state: TrainState, keep: int = 3) -> str:
+    """Serialize the full state; retain only the newest ``keep`` checkpoints."""
     os.makedirs(ckpt_dir, exist_ok=True)
     step = int(jax.device_get(state.step))
     target = {
@@ -41,6 +42,14 @@ def save_checkpoint(ckpt_dir: str, state: TrainState) -> str:
     with open(tmp, "wb") as f:
         f.write(payload)
     os.replace(tmp, path)
+
+    if keep > 0:
+        found = sorted(
+            ((int(m.group(1)), fname) for fname in os.listdir(ckpt_dir)
+             if (m := _CKPT_RE.match(fname))),
+            reverse=True)
+        for _, fname in found[keep:]:
+            os.remove(os.path.join(ckpt_dir, fname))
     return path
 
 

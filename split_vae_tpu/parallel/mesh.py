@@ -27,6 +27,24 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def maybe_initialize_distributed(coordinator: Optional[str] = None,
+                                 num_processes: Optional[int] = None,
+                                 process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: call once per process before ``create_mesh``.
+
+    On TPU pods with standard env vars ``jax.distributed.initialize()`` needs
+    no arguments; explicit args support DCN clusters. No-op if already
+    initialized or single-process.
+    """
+    try:
+        if coordinator is not None:
+            jax.distributed.initialize(coordinator, num_processes, process_id)
+        elif jax.process_count() == 1 and num_processes not in (None, 1):
+            jax.distributed.initialize()
+    except RuntimeError:
+        pass  # already initialized
+
+
 def create_mesh(num_data: int = 0, num_model: int = 1, devices=None) -> Mesh:
     """Build a ('data', 'model') mesh. num_data=0 means 'all remaining devices'."""
     devices = list(devices if devices is not None else jax.devices())

@@ -146,3 +146,15 @@ def test_parse_spair_args_reference_flags():
     assert cfg.image_size == (48, 48, 3)
     # phantom options default off like dotdict-None (spair/spair.py:58,63)
     assert not cfg.bg_model and not cfg.concat_z_bg
+
+
+def test_checkpoint_retention(tmp_path):
+    from split_vae_tpu.models.vae import LGVae
+
+    model = LGVae(4, 4, (16, 16))
+    state = create_train_state(model, jnp.zeros((2, 16, 16, 6)), optax.adam(1e-3))
+    for step in (1, 2, 3, 4, 5):
+        ckpt.save_checkpoint(str(tmp_path), state.replace(step=jnp.asarray(step)), keep=3)
+    names = sorted(os.listdir(str(tmp_path)))
+    assert names == ["checkpoint_3.msgpack", "checkpoint_4.msgpack", "checkpoint_5.msgpack"]
+    assert ckpt.latest_checkpoint(str(tmp_path)).endswith("checkpoint_5.msgpack")
