@@ -127,6 +127,10 @@ def train_vae(config, max_steps: Optional[int] = None):
         timer.add(config.batch_size)
         step = int(step) + 1
 
+        if config.log_every and step % config.log_every == 0                 and step % config.eval_interval != 0:
+            r = train_metrics.result()
+            print(f"[step {step}] total_loss: {r.get('total_loss', float('nan')):.4f}")
+
         if step % config.eval_interval == 0 or step == total_steps:
             rate = timer.rate(sync_value=m["total_loss"])
             tm = train_metrics.result()
@@ -260,6 +264,10 @@ def train_spair(config, max_steps: Optional[int] = None):
         train_metrics.update(m)
         timer.add(config.batch_size)
         step = int(step) + 1
+
+        if config.log_every and step % config.log_every == 0                 and step % config.eval_interval != 0:
+            r = train_metrics.result()
+            print(f"[step {step}] total_loss: {r.get('total_loss', float('nan')):.4f}")
 
         if step % config.eval_interval == 0 or step == total_steps:
             rate = timer.rate(sync_value=m["total_loss"])
