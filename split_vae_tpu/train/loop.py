@@ -172,8 +172,10 @@ def train_vae(config, max_steps: Optional[int] = None):
             except Exception as e:  # viz must never kill training
                 print(f"[viz] skipped: {type(e).__name__}: {e}")
 
-            ckpt.save_checkpoint(ckpt_dir, state)
             timer.reset()
+
+        if step % config.checkpoint_interval == 0 or step == total_steps:
+            ckpt.save_checkpoint(ckpt_dir, state)
 
     ckpt.save_weights(os.path.join("models", os.path.basename(run_dir) + ".msgpack"),
                       state.params)
@@ -322,8 +324,10 @@ def train_spair(config, max_steps: Optional[int] = None):
                 except Exception as e:
                     print(f"[viz] skipped: {type(e).__name__}: {e}")
 
-            ckpt.save_checkpoint(ckpt_dir, state)
             timer.reset()
+
+        if step % config.checkpoint_interval == 0 or step == total_steps:
+            ckpt.save_checkpoint(ckpt_dir, state)
 
     ckpt.save_weights(os.path.join("models", os.path.basename(run_dir) + ".msgpack"),
                       state.params)
