@@ -28,6 +28,10 @@ HW = (64, 64)
 
 def measure(steps_timed: int = STEPS_TIMED) -> float:
     import jax
+
+    from split_vae_tpu.core.runtime import setup_runtime
+
+    setup_runtime()
     import jax.numpy as jnp
     import numpy as np
     import optax

@@ -1,0 +1,31 @@
+"""Runtime setup: platform override + persistent XLA compilation cache.
+
+Remote-compile TPU environments pay 20-100 s per fresh program; the persistent
+cache makes re-runs of the same configs start in seconds.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+_DONE = False
+
+
+def setup_runtime(platform: str = None, cache_dir: str = None) -> None:
+    global _DONE
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    if _DONE:
+        return
+    cache_dir = cache_dir or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/split_vae_tpu_xla"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the persistent cache knobs
+    _DONE = True

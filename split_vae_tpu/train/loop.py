@@ -59,8 +59,9 @@ def build_vae_model(config, image_hw):
 
 
 def _apply_platform(config):
-    if config.platform:
-        jax.config.update("jax_platforms", config.platform)
+    from split_vae_tpu.core.runtime import setup_runtime
+
+    setup_runtime(config.platform)
 
 
 def train_vae(config, max_steps: Optional[int] = None):
