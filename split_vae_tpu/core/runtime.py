@@ -19,6 +19,13 @@ def setup_runtime(platform: str = None, cache_dir: str = None) -> None:
         jax.config.update("jax_platforms", platform)
     if _DONE:
         return
+    # MEASURED: the axon (remote-relay) PJRT plugin slows step execution ~50x
+    # when the persistent compilation cache is enabled (6 ms -> 300 ms/step),
+    # presumably re-loading serialized executables per dispatch. Only enable
+    # the cache on standard backends.
+    if "axon" in os.environ.get("JAX_PLATFORMS", "") and not platform:
+        _DONE = True
+        return
     cache_dir = cache_dir or os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.expanduser("~/.cache/split_vae_tpu_xla"))
