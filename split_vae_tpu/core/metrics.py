@@ -8,7 +8,7 @@ logging cadence only (one sync per interval, not per step).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import numpy as np

@@ -11,7 +11,6 @@ import functools
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 Dense = functools.partial(nn.Dense, kernel_init=nn.initializers.glorot_uniform())
 Conv = functools.partial(nn.Conv, kernel_init=nn.initializers.glorot_uniform())

@@ -12,7 +12,6 @@ from typing import Tuple
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from split_vae_tpu.nn.common import Conv, Dense, flatten, ones_bias
 from split_vae_tpu.ops.distributions import gumbel_softmax, reparameterize

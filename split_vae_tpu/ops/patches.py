@@ -25,8 +25,6 @@ Semantics contract with the reference:
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -12,7 +12,6 @@ classifier while the resampled-latent probes use the rescaled [0, 1] decode
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Callable
 

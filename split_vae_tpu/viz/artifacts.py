@@ -13,8 +13,6 @@ from __future__ import annotations
 
 import os
 from collections import defaultdict
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import matplotlib
@@ -23,7 +21,7 @@ import numpy as np
 matplotlib.use("agg")
 import matplotlib.pyplot as plt  # noqa: E402
 
-from split_vae_tpu.models.vae import GMVae, LGGMVae, LGVae  # noqa: E402
+from split_vae_tpu.models.vae import LGGMVae  # noqa: E402
 from split_vae_tpu.viz.canvases import grid_canvas, stack_rows, to_unit  # noqa: E402
 
 # Hand-picked SVHN test indices used for style transfer (vae/visualizer.py:59).
