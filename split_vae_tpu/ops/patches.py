@@ -50,9 +50,30 @@ def patch_scramble(key: Array, x: Array, size: int) -> Array:
 
 
 def batched_scramble(key: Array, x: Array, size: int) -> Array:
-    """Per-image independent patch scramble over a batch [B, H, W, C]."""
-    keys = jax.random.split(key, x.shape[0])
-    return jax.vmap(patch_scramble, in_axes=(0, 0, None))(keys, x, size)
+    """Per-image independent patch scramble over a batch [B, H, W, C].
+
+    TPU-native formulation: instead of a per-image gather (XLA TPU gathers run
+    ~17x below HBM speed-of-light here), the permutation is applied as a
+    one-hot batched matmul — permutation matrices hit the MXU. Random
+    permutations come from one argsort of iid uniforms per image.
+    """
+    b, h, w, c = x.shape
+    gh, gw = h // size, w // size
+    n = gh * gw
+    flat = (
+        x.reshape(b, gh, size, gw, size, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, n, size * size * c)
+    )
+    perm = jnp.argsort(jax.random.uniform(key, (b, n)), axis=1)  # [B, n]
+    ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+    onehot = (perm[:, :, None] == ids).astype(flat.dtype)  # [B, n, n]
+    shuffled = jnp.einsum("bij,bjd->bid", onehot, flat)
+    return (
+        shuffled.reshape(b, gh, gw, size, size, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, h, w, c)
+    )
 
 
 def mix_scramble(key: Array, x: Array) -> Array:
