@@ -208,6 +208,14 @@ def spair_loss(
                 "z_what_kl_loss": z_what_kl,
             }
         )
+        if not training:
+            # Reference test-step quirk: the reported z_bg KL always uses the
+            # concat([z_bg, z_l]) form regardless of concat_z_bg
+            # (spair/trainer.py:266).
+            metrics["z_bg_kl_loss"] = gaussian_kl_safe(
+                jnp.concatenate([out.z_bg_mean, out.z_l_mean], axis=1),
+                jnp.concatenate([out.z_bg_sig, out.z_l_sig], axis=1),
+            )
     elif config.model == "lg_glimpse_spair":
         # spair/trainer.py:203-214 (the loss branch the reference ships for its
         # missing model class).
