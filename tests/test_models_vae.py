@@ -124,7 +124,7 @@ def test_lgvae_single_batch_overfit():
     ])
     batch = jnp.array(((imgs * 0.5 + 0.5) * 255).astype(np.uint8))
     first = None
-    for i in range(300):
+    for i in range(500):
         state, metrics = step(state, batch)
         if i == 0:
             first = float(metrics["x_recon_loss"])
