@@ -97,7 +97,11 @@ class SPAIR(nn.Module):
 
     def __call__(self, inputs: Array, training: bool = False,
                  fused: bool = None) -> SpairOutput:
-        fused = self.fused_render if fused is None else fused
+        if fused is None:
+            # Backend-aware default: the fused Pallas path runs compiled on
+            # TPU; on CPU it would fall to slow interpret mode, so default off
+            # there (callers can still force fused=True explicitly).
+            fused = self.fused_render and jax.devices()[0].platform == "tpu"
         enc = self.encoder(inputs)
         (z_what, z_what_mean, z_what_sigma, z_where, z_where_mean, z_where_sigma,
          z_depth, z_depth_mean, z_depth_sigma, z_pres, z_pres_logits,
@@ -169,7 +173,11 @@ class LGSPAIR(nn.Module):
 
     def __call__(self, inputs: Array, training: bool = False,
                  fused: bool = None) -> SpairOutput:
-        fused = self.fused_render if fused is None else fused
+        if fused is None:
+            # Backend-aware default: the fused Pallas path runs compiled on
+            # TPU; on CPU it would fall to slow interpret mode, so default off
+            # there (callers can still force fused=True explicitly).
+            fused = self.fused_render and jax.devices()[0].platform == "tpu"
         x, x_hat = inputs[..., :3], inputs[..., 3:]
 
         z_l, z_l_mean, z_l_sig = self.x_hat_encoder(x_hat)
@@ -255,7 +263,11 @@ class LGGlimpseSPAIR(nn.Module):
 
     def __call__(self, inputs: Array, training: bool = False,
                  fused: bool = None) -> SpairOutput:
-        fused = self.fused_render if fused is None else fused
+        if fused is None:
+            # Backend-aware default: the fused Pallas path runs compiled on
+            # TPU; on CPU it would fall to slow interpret mode, so default off
+            # there (callers can still force fused=True explicitly).
+            fused = self.fused_render and jax.devices()[0].platform == "tpu"
         x = inputs[..., : self.num_channel]
         z_bg, z_bg_mean, z_bg_sig = self.bg_encoder(x)
         enc = self.encoder(x)

@@ -104,14 +104,16 @@ def test_fused_model_path_trains():
     rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
     variables = model_f.init(rngs, x)  # same param structure for both
 
-    def loss_with(model, params):
-        out = model.apply({"params": params}, x, True,
+    def loss_with(model, params, fused):
+        # fused passed explicitly: the backend-aware default would disable the
+        # Pallas path on CPU, and this test exists to exercise it (interpret).
+        out = model.apply({"params": params}, x, True, fused=fused,
                           rngs={"sample": jax.random.PRNGKey(2)})
         total, _ = losses.spair_loss(out, x, cfg, jnp.float32(5.0), training=True)
         return total
 
-    vf, gf = jax.value_and_grad(lambda p: loss_with(model_f, p))(variables["params"])
-    vu, gu = jax.value_and_grad(lambda p: loss_with(model_u, p))(variables["params"])
+    vf, gf = jax.value_and_grad(lambda p: loss_with(model_f, p, True))(variables["params"])
+    vu, gu = jax.value_and_grad(lambda p: loss_with(model_u, p, False))(variables["params"])
     assert np.isfinite(float(vf))
     # Same params, same sample rngs; only the render-noise realization differs.
     np.testing.assert_allclose(float(vf), float(vu), rtol=0.02)
