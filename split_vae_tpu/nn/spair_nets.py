@@ -321,8 +321,16 @@ class SpairEncoder(nn.Module):
         partial_program = z_where
         z_where_grid = z_where.reshape(b, gh, gw, self.n_z_where)
 
-        # Attr network: crop glimpses, encode objects.
-        all_glimpses, _ = stn_crop(x, z_where_grid, (self.object_size, self.object_size))
+        # Attr network: crop glimpses, encode objects. On TPU the crop runs as
+        # the fused Pallas kernel (no [B,K,h,W,C] intermediate in HBM).
+        if jax.devices()[0].platform == "tpu":
+            from split_vae_tpu.ops.pallas.crop_fused import fused_stn_crop
+
+            all_glimpses, _ = fused_stn_crop(
+                x, z_where_grid, (self.object_size, self.object_size))
+        else:
+            all_glimpses, _ = stn_crop(
+                x, z_where_grid, (self.object_size, self.object_size))
         if self.glimpse_local:
             (z_what, z_what_mean, z_what_sigma, zl_g, zl_g_mean, zl_g_sig,
              x_hat_glimpses) = self.obj_encoder(all_glimpses)
