@@ -150,6 +150,21 @@ def high_low_pass(x: Array, size: int, mean: float = 0.0, std: float = 1.0) -> A
     return x - low, low
 
 
+def batched_mix_scramble(key: Array, x: Array) -> Array:
+    """Per-image random patch size from {1,2,4,8} over a batch [B, H, W, C].
+
+    TPU-native: computes the (cheap, matmul-based) batched scramble at all
+    four sizes and selects per image — still far cheaper than a vmapped
+    gather-per-image switch.
+    """
+    k_size, *k_perms = jax.random.split(key, 1 + len(MIX_SIZES))
+    idx = jax.random.randint(k_size, (x.shape[0],), 0, len(MIX_SIZES))
+    candidates = jnp.stack(
+        [batched_scramble(kp, x, s) for kp, s in zip(k_perms, MIX_SIZES)], axis=0)
+    return jnp.take_along_axis(
+        candidates, idx[None, :, None, None, None], axis=0)[0]
+
+
 def augment_batch(key: Array, x: Array, kind: str, size: int = 1) -> Array:
     """Apply the named augmentation to a batch [B, H, W, C] on device.
 
@@ -161,9 +176,7 @@ def augment_batch(key: Array, x: Array, kind: str, size: int = 1) -> Array:
     if kind == "scramble":
         return jnp.concatenate([x, batched_scramble(key, x, size)], axis=-1)
     if kind == "mix_scramble":
-        keys = jax.random.split(key, x.shape[0])
-        aug = jax.vmap(mix_scramble)(keys, x)
-        return jnp.concatenate([x, aug], axis=-1)
+        return jnp.concatenate([x, batched_mix_scramble(key, x)], axis=-1)
     if kind == "blur":
         keys = jax.random.split(key, x.shape[0])
         aug = jax.vmap(gaussian_blur)(keys, x)

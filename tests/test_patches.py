@@ -91,3 +91,13 @@ def test_augment_batch_jits(key):
     f = jax.jit(lambda k, v: patches.augment_batch(k, v, "mix_scramble"))
     out = f(key, x)
     assert out.shape == (2, 8, 8, 6)
+
+
+def test_batched_mix_scramble_multiset_and_variety(key):
+    x = jnp.tile(jnp.arange(8 * 8 * 3, dtype=jnp.float32).reshape(1, 8, 8, 3), (16, 1, 1, 1))
+    out = np.array(patches.batched_mix_scramble(key, x))
+    assert out.shape == x.shape
+    for i in range(16):
+        np.testing.assert_allclose(np.sort(out[i].ravel()), np.sort(np.array(x[0]).ravel()))
+    # different images get different scrambles with overwhelming probability
+    assert any(not np.allclose(out[0], out[i]) for i in range(1, 16))

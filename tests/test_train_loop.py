@@ -109,3 +109,38 @@ def test_train_lg_spair_end_to_end(tmp_path):
         dense_bg=True, dense_local=True, z_pres_anneal_step=10.0)
     state, run_dir = train_spair(config)
     assert glob.glob(os.path.join(run_dir, "x_hat_reconstrcution_test_it_*.png"))
+
+
+def test_vae_probe_step_accuracies(tmp_path):
+    """Probe accuracies equal label-match fractions for a fixed-output classifier."""
+    import jax
+    import jax.numpy as jnp
+    from split_vae_tpu.models.vae import LGVae
+    from split_vae_tpu.nn.classifier import Classifier
+    from split_vae_tpu.train.probes import make_vae_probe_step
+
+    model = LGVae(8, 8, (32, 32))
+    x = jnp.zeros((8, 32, 32, 6))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x)
+    out = model.apply(variables, x, rngs={"sample": jax.random.PRNGKey(2)})
+
+    classifier = Classifier(latent_dims=16, target_shape=10)
+    cls_vars = classifier.init(
+        {"params": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
+        jnp.zeros((8, 32, 32, 3)))
+    # Freeze the classifier to always predict class 0: zero final kernel, huge bias.
+    import numpy as np
+    cls_host = jax.device_get(cls_vars)
+    final = sorted(k for k in cls_host["params"] if k.startswith("Dense"))[-1]
+    cls_host["params"][final]["kernel"] = np.zeros_like(
+        cls_host["params"][final]["kernel"])
+    bias = np.full_like(cls_host["params"][final]["bias"], -100.0)
+    bias[0] = 100.0
+    cls_host["params"][final]["bias"] = bias
+
+    probe = make_vae_probe_step(model, classifier, gm=False)
+    labels = jnp.eye(10)[jnp.array([0, 0, 0, 1, 2, 3, 4, 5])]  # 3/8 class 0
+    accs = probe(variables["params"], cls_host, jax.random.PRNGKey(5), out, labels)
+    for k, v in accs.items():
+        np.testing.assert_allclose(float(v), 3 / 8, err_msg=k)
