@@ -130,3 +130,13 @@ def test_lgvae_single_batch_overfit():
             first = float(metrics["x_recon_loss"])
     last = float(metrics["x_recon_loss"])
     assert last < first * 0.8, (first, last)
+
+
+def test_lgvae_celeba128_shapes():
+    """CelebA128 path: decoder handles 128x128 (vae/data.py:127-129)."""
+    model = LGVae(global_latent_dims=8, local_latent_dims=8, image_hw=(128, 128))
+    x = jnp.zeros((2, 128, 128, 6))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x)
+    out = model.apply(variables, x, rngs={"sample": jax.random.PRNGKey(2)})
+    assert out.x_mean.shape == (2, 128, 128, 3)
