@@ -21,6 +21,19 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 assert jax.device_count() == 8, f"expected 8 virtual CPU devices, got {jax.device_count()}"
 
+# Persistent compilation cache: the suite is dominated by XLA:CPU compiles of
+# the full train steps (~20 min cold); cached re-runs skip them. Keyed by HLO
+# hash, so code changes invalidate naturally. (Broken on the axon TPU backend,
+# fine on CPU — see core/runtime.py.)
+_cache_dir = os.environ.get(
+    "SPLIT_TPU_TEST_CACHE", os.path.expanduser("~/.cache/split_vae_tpu_test_xla"))
+try:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
