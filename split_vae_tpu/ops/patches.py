@@ -56,6 +56,13 @@ def batched_scramble(key: Array, x: Array, size: int) -> Array:
     ~17x below HBM speed-of-light here), the permutation is applied as a
     one-hot batched matmul — permutation matrices hit the MXU. Random
     permutations come from one argsort of iid uniforms per image.
+
+    Memory guard: the [B, n, n] one-hot is fine at the patch counts the
+    matmul wins at (n <= ~256), but at size=1 on 64x64 inputs it would be a
+    B x 4096 x 4096 transient (4.3 GB at B=64). Above a 128 MB one-hot budget
+    the permutation falls back to a batched take_along_axis gather, which is
+    also the faster choice there (payload per row is only size^2*c floats, so
+    the matmul is MXU-starved anyway).
     """
     b, h, w, c = x.shape
     gh, gw = h // size, w // size
@@ -66,9 +73,12 @@ def batched_scramble(key: Array, x: Array, size: int) -> Array:
         .reshape(b, n, size * size * c)
     )
     perm = jnp.argsort(jax.random.uniform(key, (b, n)), axis=1)  # [B, n]
-    ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
-    onehot = (perm[:, :, None] == ids).astype(flat.dtype)  # [B, n, n]
-    shuffled = jnp.einsum("bij,bjd->bid", onehot, flat)
+    if b * n * n * 4 > 128 * 2**20:
+        shuffled = jnp.take_along_axis(flat, perm[:, :, None], axis=1)
+    else:
+        ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+        onehot = (perm[:, :, None] == ids).astype(flat.dtype)  # [B, n, n]
+        shuffled = jnp.einsum("bij,bjd->bid", onehot, flat)
     return (
         shuffled.reshape(b, gh, gw, size, size, c)
         .transpose(0, 1, 3, 2, 4, 5)

@@ -29,6 +29,7 @@ from split_vae_tpu.models.spair import LGSPAIR, LGGlimpseSPAIR, get_spair_model
 from split_vae_tpu.models.vae import GMVae, LGGMVae, LGVae
 from split_vae_tpu.ops.patches import augmented_channels
 from split_vae_tpu.parallel.mesh import batch_sharding, create_mesh, shard_state
+from split_vae_tpu.train import optim
 from split_vae_tpu.train import probes as probes_mod
 from split_vae_tpu.train import schedules
 from split_vae_tpu.train.steps import (
@@ -60,8 +61,13 @@ def build_vae_model(config, image_hw):
 
 def _apply_platform(config):
     from split_vae_tpu.core.runtime import setup_runtime
+    from split_vae_tpu.parallel.mesh import maybe_initialize_distributed
 
     setup_runtime(config.platform)
+    # Multi-host (pod) bring-up, before any device query builds the local-only
+    # view (--coordinator/--num_processes/--process_id; no-op single-host).
+    maybe_initialize_distributed(
+        config.coordinator, config.num_processes, config.process_id)
 
 
 def train_vae(config, max_steps: Optional[int] = None):
@@ -231,7 +237,8 @@ def train_spair(config, max_steps: Optional[int] = None):
     config.image_size = (size, size, num_channel)
 
     model = get_spair_model(config)
-    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(config.learning_rate))
+    # Keras Adam(clipnorm=1.0) clips per tensor, not globally (spair/main.py:109).
+    tx = optax.chain(optim.clip_by_per_tensor_norm(1.0), optax.adam(config.learning_rate))
     in_ch = num_channel * 2 if config.model == "lg_spair" else num_channel
     state = create_train_state(
         model, jnp.zeros((config.batch_size, size, size, in_ch), jnp.float32), tx,

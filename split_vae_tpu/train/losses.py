@@ -200,12 +200,15 @@ def spair_loss(
                 + config.reconstruction_weight * x_recon_loss
                 + config.beta * obj_kls
             )
+        # The logged z_what KL stays the plain per-cell KL (already in
+        # ``metrics``): the reference's losses list captures the tensor before
+        # the concat_z_what reassignment (spair/trainer.py:162), so the concat
+        # form enters only the total.
         metrics.update(
             {
                 "z_bg_kl_loss": z_bg_kl,
                 "z_l_kl_loss": z_l_kl,
                 "x_hat_recon_loss": x_hat_recon_loss,
-                "z_what_kl_loss": z_what_kl,
             }
         )
         if not training:
@@ -235,11 +238,12 @@ def spair_loss(
                 config.z_what_beta * z_what_concat_kl
                 + z_depth_kl + z_where_kl + z_where_zoom_kl + z_pres_kl)
         )
+        # As in the lg_spair branch, log the plain per-cell z_what KL; the
+        # concat([z_what, z_l]) KL enters only the total.
         metrics.update({
             "z_bg_kl_loss": z_bg_kl,
             "z_l_kl_loss": z_l_kl,
             "x_hat_recon_loss": x_hat_recon_loss,
-            "z_what_kl_loss": z_what_concat_kl,
         })
     elif config.model == "bg_spair":
         # spair/trainer.py:217-224

@@ -179,8 +179,12 @@ def make_spair_eval_step(config, apply_fn) -> Callable:
             )
             err = jnp.abs(labels - pred_count)
             metrics["MAE test"] = jnp.mean(err)
+            # Exact tf.keras mean_absolute_percentage_error semantics
+            # (spair/trainer.py:298): denominator clipped at 1e-7, so
+            # zero-count images contribute err*1e9 — kept for comparability
+            # with reference logs.
             metrics["MAPE test"] = jnp.mean(
-                jnp.where(labels > 0, err / jnp.maximum(labels, 1e-8) * 100.0, err * 100.0)
+                err / jnp.maximum(jnp.abs(labels), 1e-7) * 100.0
             )
             metrics["count_acc"] = jnp.mean((pred_count == labels).astype(jnp.float32))
         return out, metrics, images
