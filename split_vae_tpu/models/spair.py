@@ -86,9 +86,11 @@ class SPAIR(nn.Module):
     bg: bool = False
     bg_latent_size: int = 4
     fused_render: bool = False  # Pallas fused paste+composite on the train path
+    use_pallas: bool = False  # backend compiles Pallas kernels (set by factory)
 
     def setup(self):
-        self.encoder = SpairEncoder(self.object_size, self.latent_size, self.tau)
+        self.encoder = SpairEncoder(self.object_size, self.latent_size, self.tau,
+                                    use_pallas=self.use_pallas)
         self.decoder = SpairDecoder(
             self.image_hw, self.object_size, self.num_channel, self.latent_size
         )
@@ -98,10 +100,10 @@ class SPAIR(nn.Module):
     def __call__(self, inputs: Array, training: bool = False,
                  fused: bool = None) -> SpairOutput:
         if fused is None:
-            # Backend-aware default: the fused Pallas path runs compiled on
-            # TPU; on CPU it would fall to slow interpret mode, so default off
-            # there (callers can still force fused=True explicitly).
-            fused = self.fused_render and jax.devices()[0].platform == "tpu"
+            # Static default from module flags (plumbed by get_spair_model
+            # from the resolved session backend): fused Pallas only where the
+            # backend compiles it; callers can still force fused= explicitly.
+            fused = self.fused_render and self.use_pallas
         enc = self.encoder(inputs)
         (z_what, z_what_mean, z_what_sigma, z_where, z_where_mean, z_where_sigma,
          z_depth, z_depth_mean, z_depth_sigma, z_pres, z_pres_logits,
@@ -117,7 +119,8 @@ class SPAIR(nn.Module):
 
             obj_recon_unnorm, obj_recon_alpha, obj_bbox, x_recon = fused_decode_render(
                 self.decoder, self.make_rng("sample"), z_what, z_where, z_depth,
-                z_pres, bg_recon, self.num_channel, self.image_hw)
+                z_pres, bg_recon, self.num_channel, self.image_hw,
+                interpret=not self.use_pallas)
             obj_full = None
         else:
             obj_recon_unnorm, obj_recon_alpha, obj_full, obj_bbox = self.decoder(
@@ -150,10 +153,12 @@ class LGSPAIR(nn.Module):
     concat_backbone: bool = False
     concat_z_bg: bool = False
     fused_render: bool = False
+    use_pallas: bool = False
 
     def setup(self):
         self.encoder = SpairEncoder(
-            self.object_size, self.latent_size, self.tau, concat=self.concat_backbone
+            self.object_size, self.latent_size, self.tau,
+            concat=self.concat_backbone, use_pallas=self.use_pallas,
         )
         self.decoder = SpairDecoder(
             self.image_hw, self.object_size, self.num_channel, self.latent_size
@@ -174,10 +179,10 @@ class LGSPAIR(nn.Module):
     def __call__(self, inputs: Array, training: bool = False,
                  fused: bool = None) -> SpairOutput:
         if fused is None:
-            # Backend-aware default: the fused Pallas path runs compiled on
-            # TPU; on CPU it would fall to slow interpret mode, so default off
-            # there (callers can still force fused=True explicitly).
-            fused = self.fused_render and jax.devices()[0].platform == "tpu"
+            # Static default from module flags (plumbed by get_spair_model
+            # from the resolved session backend): fused Pallas only where the
+            # backend compiles it; callers can still force fused= explicitly.
+            fused = self.fused_render and self.use_pallas
         x, x_hat = inputs[..., :3], inputs[..., 3:]
 
         z_l, z_l_mean, z_l_sig = self.x_hat_encoder(x_hat)
@@ -202,7 +207,8 @@ class LGSPAIR(nn.Module):
 
             obj_recon_unnorm, obj_recon_alpha, obj_bbox, x_recon = fused_decode_render(
                 self.decoder, self.make_rng("sample"), z_what, z_where, z_depth,
-                z_pres, bg_recon, self.num_channel, self.image_hw)
+                z_pres, bg_recon, self.num_channel, self.image_hw,
+                interpret=not self.use_pallas)
             obj_full = None
         else:
             obj_recon_unnorm, obj_recon_alpha, obj_full, obj_bbox = self.decoder(
@@ -243,13 +249,15 @@ class LGGlimpseSPAIR(nn.Module):
     patch_size: int = 4
     dense_bg: bool = False
     fused_render: bool = False
+    use_pallas: bool = False
 
     def setup(self):
         from split_vae_tpu.nn.spair_nets import GlimpseDecoder
 
         self.encoder = SpairEncoder(
             self.object_size, self.latent_size, self.tau, glimpse_local=True,
-            patch_size=self.patch_size, local_latent_size=self.local_latent_size)
+            patch_size=self.patch_size, local_latent_size=self.local_latent_size,
+            use_pallas=self.use_pallas)
         self.decoder = SpairDecoder(
             self.image_hw, self.object_size, self.num_channel, self.latent_size)
         if self.dense_bg:
@@ -264,10 +272,10 @@ class LGGlimpseSPAIR(nn.Module):
     def __call__(self, inputs: Array, training: bool = False,
                  fused: bool = None) -> SpairOutput:
         if fused is None:
-            # Backend-aware default: the fused Pallas path runs compiled on
-            # TPU; on CPU it would fall to slow interpret mode, so default off
-            # there (callers can still force fused=True explicitly).
-            fused = self.fused_render and jax.devices()[0].platform == "tpu"
+            # Static default from module flags (plumbed by get_spair_model
+            # from the resolved session backend): fused Pallas only where the
+            # backend compiles it; callers can still force fused= explicitly.
+            fused = self.fused_render and self.use_pallas
         x = inputs[..., : self.num_channel]
         z_bg, z_bg_mean, z_bg_sig = self.bg_encoder(x)
         enc = self.encoder(x)
@@ -286,7 +294,8 @@ class LGGlimpseSPAIR(nn.Module):
 
             obj_recon_unnorm, obj_recon_alpha, obj_bbox, x_recon = fused_decode_render(
                 self.decoder, self.make_rng("sample"), z_what, z_where, z_depth,
-                z_pres, bg_recon, self.num_channel, self.image_hw)
+                z_pres, bg_recon, self.num_channel, self.image_hw,
+                interpret=not self.use_pallas)
             obj_full = None
         else:
             obj_recon_unnorm, obj_recon_alpha, obj_full, obj_bbox = self.decoder(
@@ -304,7 +313,15 @@ class LGGlimpseSPAIR(nn.Module):
 
 
 def get_spair_model(config) -> nn.Module:
-    """Model factory mirroring spair/spair.py:8-17 on config.model."""
+    """Model factory mirroring spair/spair.py:8-17 on config.model.
+
+    Resolves the Pallas capability flag ONCE here from the session backend
+    (after core.runtime.setup_runtime applied any --platform override) and
+    bakes it into the modules as a static attribute — no jax.devices() calls
+    inside any nn.Module (trace-time platform sniffing picks the wrong branch
+    under jax.default_device / AOT lowering).
+    """
+    use_pallas = jax.default_backend() == "tpu"
     image_hw = (config.image_size[0], config.image_size[1])
     num_channel = config.image_size[2]
     if config.model == "lg_spair":
@@ -322,6 +339,7 @@ def get_spair_model(config) -> nn.Module:
             concat_backbone=config.concat_backbone,
             concat_z_bg=config.concat_z_bg,
             fused_render=config.fused_render,
+            use_pallas=use_pallas,
         )
     if config.model == "lg_glimpse_spair":
         return LGGlimpseSPAIR(
@@ -335,6 +353,7 @@ def get_spair_model(config) -> nn.Module:
             patch_size=config.patch_size,
             dense_bg=config.dense_bg,
             fused_render=config.fused_render,
+            use_pallas=use_pallas,
         )
     if config.model in ("spair", "bg_spair"):
         return SPAIR(
@@ -346,5 +365,6 @@ def get_spair_model(config) -> nn.Module:
             bg=config.model == "bg_spair",
             bg_latent_size=config.bg_latent_size,
             fused_render=config.fused_render,
+            use_pallas=use_pallas,
         )
     raise NotImplementedError(f"Model type not implemented: {config.model}")

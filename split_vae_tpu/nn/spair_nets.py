@@ -266,6 +266,11 @@ class SpairEncoder(nn.Module):
     glimpse_local: bool = False  # per-glimpse local latents (lg_glimpse_spair)
     patch_size: int = 4
     local_latent_size: int = 64
+    # Static capability flag plumbed from the model factory (which resolves it
+    # from the session backend once) — never sniffed from jax.devices() at
+    # trace time, so AOT lowering / jax.default_device can't bake in the wrong
+    # branch.
+    use_pallas: bool = False
 
     n_z_where: int = 4
     n_pass_through: int = 8
@@ -323,7 +328,7 @@ class SpairEncoder(nn.Module):
 
         # Attr network: crop glimpses, encode objects. On TPU the crop runs as
         # the fused Pallas kernel (no [B,K,h,W,C] intermediate in HBM).
-        if jax.devices()[0].platform == "tpu":
+        if self.use_pallas:
             from split_vae_tpu.ops.pallas.crop_fused import fused_stn_crop
 
             all_glimpses, _ = fused_stn_crop(
@@ -405,7 +410,7 @@ class SpairDecoder(nn.Module):
 
 def fused_decode_render(decoder, rng_key, z_what, z_where, z_depth, z_pres,
                         bg_recon, num_channel: int, image_hw: Tuple[int, int],
-                        noise_scale: float = 0.01):
+                        noise_scale: float = 0.01, interpret: bool = False):
     """Training-time decode + paste + composite via the fused Pallas kernel.
 
     Identical math to decoder(...) -> render(training=True) but the per-cell
@@ -423,7 +428,6 @@ def fused_decode_render(decoder, rng_key, z_what, z_where, z_depth, z_pres,
         jnp.asarray(bg_recon, jnp.float32),
         (b, image_hw[0], image_hw[1], num_channel))
     seed = jax.random.randint(rng_key, (), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
-    interpret = jax.devices()[0].platform != "tpu"
     # The in-kernel PRNG has no CPU interpreter rule; render noise (a train-time
     # regularizer, spair/spair.py:539) is dropped when interpreting on CPU.
     noise = 0.0 if interpret else noise_scale
