@@ -37,6 +37,13 @@ class BaseConfig:
     log_every: int = 100
     synthetic_data: bool = False  # offline-friendly synthetic datasets
     platform: Optional[str] = None  # override jax platform (e.g. 'cpu')
+    # Multi-host (pod) bring-up: passed to jax.distributed.initialize before
+    # mesh creation. On TPU pods leave coordinator unset and pass
+    # --num_processes > 1 (or nothing: the TPU runtime autodetects); explicit
+    # coordinator host:port supports DCN clusters.
+    coordinator: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -170,7 +177,8 @@ def parse_vae_args(argv=None) -> VaeConfig:
     ns = vars(parser.parse_args(argv))
     ns.pop("allow_growth", None)
     ns = {k: v for k, v in ns.items() if k in {f.name for f in dataclasses.fields(VaeConfig)}}
-    for k in ("training_steps", "eval_interval", "checkpoint_interval"):
+    for k in ("training_steps", "eval_interval", "checkpoint_interval",
+              "num_processes", "process_id"):
         if ns.get(k) is not None:
             ns[k] = int(float(ns[k]))
     return VaeConfig(**ns)
@@ -183,7 +191,8 @@ def parse_spair_args(argv=None) -> SpairConfig:
     ns = vars(parser.parse_args(argv))
     ns.pop("allow_growth", None)
     ns = {k: v for k, v in ns.items() if k in {f.name for f in dataclasses.fields(SpairConfig)}}
-    for k in ("training_steps", "eval_interval", "checkpoint_interval"):
+    for k in ("training_steps", "eval_interval", "checkpoint_interval",
+              "num_processes", "process_id"):
         if ns.get(k) is not None:
             ns[k] = int(float(ns[k]))
     cfg = SpairConfig(**ns)

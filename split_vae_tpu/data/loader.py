@@ -44,13 +44,29 @@ def iterate_batches(
     repeat: bool = False,
     seed: int = 0,
     drop_remainder: bool = True,
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
 ) -> Iterator:
-    """Yield (images, labels) or images batches; reshuffles every epoch."""
-    n = len(ds)
+    """Yield (images, labels) or images batches; reshuffles every epoch.
+
+    Multi-host: host k of N consumes a disjoint 1/N slice of each epoch's
+    index permutation (all hosts draw the same permutation from the shared
+    ``seed``, then slice by ``process_index``), so a pod run never feeds two
+    hosts the same example in an epoch. ``batch_size`` is the PER-HOST batch.
+    Defaults read ``jax.process_index()/process_count()`` — single-host runs
+    are unaffected.
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    n_total = len(ds)
     rng = np.random.RandomState(seed)
     epoch = 0
     while True:
-        idx = rng.permutation(n) if shuffle else np.arange(n)
+        idx = rng.permutation(n_total) if shuffle else np.arange(n_total)
+        if pc > 1:
+            per_host = n_total // pc  # equal disjoint shares; remainder dropped
+            idx = idx[pi * per_host : (pi + 1) * per_host]
+        n = len(idx)
         stop = n - (n % batch_size) if drop_remainder else n
         if stop == 0 and not drop_remainder:
             stop = n

@@ -21,6 +21,7 @@ from typing import Optional
 
 import jax
 import numpy as np
+import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
@@ -33,13 +34,24 @@ def maybe_initialize_distributed(coordinator: Optional[str] = None,
     """Multi-host bring-up: call once per process before ``create_mesh``.
 
     On TPU pods with standard env vars ``jax.distributed.initialize()`` needs
-    no arguments; explicit args support DCN clusters. No-op if already
-    initialized or single-process.
+    no arguments; an explicit ``coordinator`` (host:port) with
+    ``num_processes``/``process_id`` supports DCN clusters. No-op if already
+    initialized, or when nothing requests multi-process (no coordinator and
+    num_processes in (None, 0, 1)). The request check is pure Python and runs
+    FIRST: querying jax.process_count() would itself initialize the local
+    backend, which must not happen before jax.distributed.initialize.
     """
+    if coordinator is None and (num_processes or 1) <= 1:
+        return  # nothing requested multi-process; don't touch backends
     try:
         if coordinator is not None:
-            jax.distributed.initialize(coordinator, num_processes, process_id)
-        elif jax.process_count() == 1 and num_processes not in (None, 1):
+            jax.distributed.initialize(
+                coordinator_address=coordinator,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        elif (num_processes or 1) > 1:
+            # TPU pod: the runtime env supplies coordinator/process info.
             jax.distributed.initialize()
     except RuntimeError:
         pass  # already initialized
@@ -96,50 +108,32 @@ def infer_param_sharding(params, mesh: Mesh, min_size: int = 1 << 15):
 
 def shard_state(state, mesh: Mesh):
     """Place a TrainState on the mesh: params (and mirrored opt state) per the
-    tensor-parallel rule, everything else replicated."""
+    tensor-parallel rule, everything else replicated.
+
+    Optimizer-state placement is STRUCTURAL: ``optax.tree_map_params`` walks
+    ``state.opt_state`` with the param treedef, so every params-shaped leaf
+    (Adam mu/nu, momentum traces, ...) receives exactly its param's sharding
+    — no path-string matching, no ambiguity across nested sub-states. Scalar
+    bookkeeping leaves (step counts, schedule states) are replicated.
+    """
     param_shardings = infer_param_sharding(state.params, mesh)
+    params = jax.tree.map(jax.device_put, state.params, param_shardings)
 
-    def place(path_free_tree, shardings):
-        return jax.tree.map(jax.device_put, path_free_tree, shardings)
+    repl = NamedSharding(mesh, P())
+    opt_state = optax.tree_map_params(
+        state.tx,
+        lambda leaf, sharding: jax.device_put(leaf, sharding),
+        state.opt_state,
+        param_shardings,
+        transform_non_params=lambda leaf: jax.device_put(leaf, repl),
+    )
 
-    params = place(state.params, param_shardings)
-
-    # Optimizer state mirrors the param tree inside each optax sub-state; shard
-    # matching leaves the same way and replicate the rest (e.g. step counts).
-    def opt_place(x):
-        return jax.device_put(x, NamedSharding(mesh, P()))
-
-    flat_params, _ = jax.tree.flatten_with_path(state.params)
-    sharding_by_path = {
-        jax.tree_util.keystr(p): s
-        for (p, _), s in zip(
-            jax.tree.flatten_with_path(state.params)[0],
-            jax.tree.leaves(param_shardings, is_leaf=lambda s: isinstance(s, NamedSharding)),
-        )
-    }
-
-    def place_opt_tree(tree):
-        flat, treedef = jax.tree.flatten_with_path(tree)
-        placed = []
-        for path, leaf in flat:
-            key = jax.tree_util.keystr(path)
-            # optax ScaleByAdam nests the param tree under .mu/.nu etc; match by
-            # path suffix.
-            matched = None
-            for ppath, sh in sharding_by_path.items():
-                if key.endswith(ppath) and getattr(leaf, "shape", None) is not None:
-                    matched = sh
-                    break
-            placed.append(
-                jax.device_put(leaf, matched or NamedSharding(mesh, P()))
-            )
-        return jax.tree.unflatten(treedef, placed)
-
-    opt_state = place_opt_tree(state.opt_state)
-    rng = jax.device_put(state.rng, NamedSharding(mesh, P()))
-    step = jax.device_put(state.step, NamedSharding(mesh, P()))
+    rng = jax.device_put(state.rng, repl)
+    step = jax.device_put(state.step, repl)
     batch_stats = (
-        jax.tree.map(opt_place, state.batch_stats) if state.batch_stats is not None else None
+        jax.tree.map(lambda x: jax.device_put(x, repl), state.batch_stats)
+        if state.batch_stats is not None
+        else None
     )
     return state.replace(
         params=params, opt_state=opt_state, rng=rng, step=step, batch_stats=batch_stats

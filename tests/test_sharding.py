@@ -77,6 +77,84 @@ def test_model_axis_sharding_rule():
     assert shardings["vec"].spec == jax.sharding.PartitionSpec()
 
 
+def test_opt_state_sharding_is_structural():
+    """Adam mu/nu of a model-sharded kernel carry the kernel's sharding
+    (mapped by treedef via optax.tree_map_params, not path-suffix strings)."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = create_mesh(num_data=4, num_model=2)
+    params = {
+        "dense": {"kernel": jnp.zeros((512, 512)), "bias": jnp.zeros((512,))},
+        # same leaf names nested one level deeper: suffix matching would be
+        # ambiguous here, structural mapping is not
+        "head": {"dense": {"kernel": jnp.zeros((4, 4)), "bias": jnp.zeros((4,))}},
+    }
+    tx = optax.adam(1e-3)
+
+    class FakeState:
+        pass
+
+    state = FakeState()
+    state.params = params
+    state.opt_state = tx.init(params)
+    state.tx = tx
+    state.rng = jax.random.PRNGKey(0)
+    state.step = jnp.zeros((), jnp.int32)
+    state.batch_stats = None
+    state.replace = lambda **kw: kw
+    placed = shard_state(state, mesh)
+
+    adam_state = placed["opt_state"][0]  # ScaleByAdamState(count, mu, nu)
+    for moment in (adam_state.mu, adam_state.nu):
+        assert moment["dense"]["kernel"].sharding.spec == P(None, "model")
+        assert moment["dense"]["bias"].sharding.spec == P()
+        assert moment["head"]["dense"]["kernel"].sharding.spec == P()
+    assert placed["params"]["dense"]["kernel"].sharding.spec == P(None, "model")
+    # scalar bookkeeping (count) stays replicated
+    assert adam_state.count.sharding.spec == P()
+
+
+def test_per_host_data_sharding_disjoint():
+    """Host k of N sees a disjoint 1/N of the dataset each epoch, and the
+    union of hosts covers every retained index exactly once."""
+    from split_vae_tpu.data.loader import ArrayDataset, iterate_batches
+
+    n, n_hosts, bs = 103, 4, 5
+    ds = ArrayDataset(images=np.arange(n, dtype=np.int64).reshape(n, 1, 1, 1))
+    seen_per_host = []
+    for host in range(n_hosts):
+        got = [
+            b.ravel()
+            for b in iterate_batches(
+                ds, bs, shuffle=True, seed=7,
+                process_index=host, process_count=n_hosts)
+        ]
+        seen_per_host.append(np.concatenate(got) if got else np.empty(0, np.int64))
+    per_host = n // n_hosts  # 25 -> 25 - 25 % 5 = 25 kept per host
+    for seen in seen_per_host:
+        assert len(seen) == per_host - per_host % bs
+        assert len(np.unique(seen)) == len(seen)
+    all_seen = np.concatenate(seen_per_host)
+    assert len(np.unique(all_seen)) == len(all_seen)  # pairwise disjoint
+
+
+def test_maybe_initialize_distributed_noop_single_host():
+    """Single-host requests must not attempt jax.distributed.initialize."""
+    from unittest import mock
+
+    from split_vae_tpu.parallel.mesh import maybe_initialize_distributed
+
+    with mock.patch.object(jax.distributed, "initialize") as init:
+        maybe_initialize_distributed(None, None, None)
+        maybe_initialize_distributed(None, 1, None)
+        init.assert_not_called()
+        maybe_initialize_distributed("host:1234", 2, 0)
+        init.assert_called_once_with(
+            coordinator_address="host:1234", num_processes=2, process_id=0)
+        maybe_initialize_distributed(None, 2, None)
+        assert init.call_count == 2 and init.call_args == mock.call()
+
+
 def test_dryrun_multichip_entrypoint():
     import sys
     sys.path.insert(0, "/root/repo")
