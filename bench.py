@@ -1,15 +1,21 @@
-"""Headline benchmark: SPLIT-VAE (LGVae) CelebA64 training throughput.
+"""Benchmarks: SPLIT-VAE + SPLIT-SPAIR training throughput on the default device.
 
-Config mirrors BASELINE.json config #2 (``--beta 30 --patch_size 8 -no_label``,
-batch 64). Prints ONE JSON line:
-  {"metric": ..., "value": imgs/sec on the default device, "unit": "imgs/sec",
-   "vs_baseline": value / (10 x CPU imgs/sec)}
+Emits one JSON line per config (the headline metric LAST so drivers that parse
+the final line keep seeing it):
+  1. lgspair_multicub_b256_unfused  — BASELINE.json config #5, plain XLA render
+  2. lgspair_multicub_b256          — config #5 with the fused Pallas
+                                      paste+composite (the TPU default)
+  3. splitvae_celeba64_b1024        — config #2 at the compute-bound batch
+  4. splitvae_celeba64_train_throughput — config #2 at B=64 (headline,
+                                      tracked against the north star)
 
 The reference publishes no numbers (BASELINE.md), so the tracked baseline is
 the BASELINE.json north star: ">= 10x TF2-CPU images/sec on one v5e chip".
-TF2 cannot run in this image; the stand-in denominator is this same training
-step measured on one host CPU device (cached in .bench_cpu_baseline.json).
-vs_baseline > 1.0 means the north-star multiple is beaten.
+TF2 cannot run in this image; the stand-in denominator is the same LGVae
+training step measured on one host CPU device (cached in
+.bench_cpu_baseline.json). vs_baseline > 1.0 beats the north-star multiple;
+secondary configs report vs_baseline relative to their round-1 measured
+values (BASELINE.md) so regressions are driver-visible.
 """
 
 from __future__ import annotations
@@ -25,10 +31,38 @@ STEPS_WARMUP = 5
 STEPS_TIMED = 100
 HW = (64, 64)
 
+# Round-1 measured reference points (BASELINE.md, v5e single chip, f32).
+R1_LGVAE_B1024 = 20541.0
+R1_LGSPAIR_B256_FUSED = 8445.0
+R1_LGSPAIR_B256_UNFUSED = 7435.0
 
-def measure(steps_timed: int = STEPS_TIMED) -> float:
+
+def _warmup_then_time(train_step, state, batches, batch_size, steps_timed,
+                      sync_key="total_loss"):
+    """Adaptive warmup + honest timing (materialize the final value on host;
+    block_until_ready alone can return early through remote-relay backends)."""
     import jax
 
+    on_cpu = jax.devices()[0].platform == "cpu"
+    deadline = time.time() + (0 if on_cpu else 300)
+    while True:
+        t0 = time.time()
+        for i in range(STEPS_WARMUP):
+            state, metrics = train_step(state, batches[i % len(batches)])
+        _ = float(metrics[sync_key])
+        if time.time() > deadline or (time.time() - t0) / STEPS_WARMUP < 0.05:
+            break
+
+    t0 = time.time()
+    for i in range(steps_timed):
+        state, metrics = train_step(state, batches[i % len(batches)])
+    _ = float(metrics[sync_key])
+    dt = time.time() - t0
+    return steps_timed * batch_size / dt
+
+
+def measure(steps_timed: int = STEPS_TIMED, batch: int = BATCH) -> float:
+    """LGVae CelebA64 training step (BASELINE.json config #2)."""
     from split_vae_tpu.core.runtime import setup_runtime
 
     setup_runtime()
@@ -42,39 +76,52 @@ def measure(steps_timed: int = STEPS_TIMED) -> float:
     from split_vae_tpu.train.steps import make_vae_train_step
 
     config = VaeConfig(model="lgvae", dataset="celeba64", no_label=True, beta=30.0,
-                       patch_size=8, batch_size=BATCH)
+                       patch_size=8, batch_size=batch)
     model = LGVae(config.global_latent_dims, config.local_latent_dims, HW)
     state = create_train_state(
-        model, jnp.zeros((BATCH, HW[0], HW[1], 6)), optax.adam(config.learning_rate),
+        model, jnp.zeros((batch, HW[0], HW[1], 6)), optax.adam(config.learning_rate),
         seed=0)
     train_step = make_vae_train_step(config)
 
     rng = np.random.RandomState(0)
-    batches = [jnp.asarray(rng.randint(0, 255, (BATCH, HW[0], HW[1], 3), np.uint8))
+    batches = [jnp.asarray(rng.randint(0, 255, (batch, HW[0], HW[1], 3), np.uint8))
                for _ in range(4)]
+    return _warmup_then_time(train_step, state, batches, batch, steps_timed)
 
-    # Warm up until the step latency settles. Remote-relay TPU backends run the
-    # first many dispatches of a fresh process orders of magnitude slower while
-    # the data path spins up; timing too early under-reports by ~100x. On CPU a
-    # single warmup pass suffices (and the 50 ms/step bar is unreachable).
-    on_cpu = jax.devices()[0].platform == "cpu"
-    deadline = time.time() + (0 if on_cpu else 300)
-    while True:
-        t0 = time.time()
-        for i in range(STEPS_WARMUP):
-            state, metrics = train_step(state, batches[i % len(batches)])
-        _ = float(metrics["total_loss"])
-        if time.time() > deadline or (time.time() - t0) / STEPS_WARMUP < 0.05:
-            break
 
-    t0 = time.time()
-    for i in range(steps_timed):
-        state, metrics = train_step(state, batches[i % len(batches)])
-    # Force the full dependent chain AND materialize the value on host —
-    # block_until_ready alone can return early through remote-relay backends.
-    _ = float(metrics["total_loss"])
-    dt = time.time() - t0
-    return steps_timed * BATCH / dt
+def measure_spair(steps_timed: int = 60, batch: int = 256,
+                  fused: bool = True) -> float:
+    """LG-SPAIR Multi-Bird-Hard training step (BASELINE.json config #5)."""
+    from split_vae_tpu.core.runtime import setup_runtime
+
+    setup_runtime()
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from split_vae_tpu.core.config import SpairConfig
+    from split_vae_tpu.core.state import create_train_state
+    from split_vae_tpu.models.spair import get_spair_model
+    from split_vae_tpu.train.optim import clip_by_per_tensor_norm
+    from split_vae_tpu.train.steps import make_spair_train_step
+
+    config = SpairConfig(
+        model="lg_spair", dataset="cub_ckb_rot_6", batch_size=batch,
+        latent_size=64, bg_latent_size=64, local_latent_size=64,
+        z_bg_beta=1.0, z_what_beta=0.5, patch_size=8, split_z_l=True,
+        concat_z_what=True, dense_local=True, dense_bg=True,
+        fused_render=fused)
+    model = get_spair_model(config)
+    tx = optax.chain(clip_by_per_tensor_norm(1.0), optax.adam(config.learning_rate))
+    state = create_train_state(
+        model, jnp.zeros((batch, 48, 48, 6), jnp.float32), tx, seed=0,
+        training_kwargs={"training": True})
+    train_step = make_spair_train_step(config)
+
+    rng = np.random.RandomState(0)
+    batches = [jnp.asarray(rng.uniform(0, 1, (batch, 48, 48, 3)).astype(np.float32))
+               for _ in range(2)]
+    return _warmup_then_time(train_step, state, batches, batch, steps_timed)
 
 
 def _cpu_baseline() -> float:
@@ -106,16 +153,33 @@ def _cpu_baseline() -> float:
     return rate
 
 
-def main():
-    value = measure()
-    cpu = _cpu_baseline()
-    result = {
-        "metric": "splitvae_celeba64_train_throughput",
+def _emit(metric, value, baseline):
+    print(json.dumps({
+        "metric": metric,
         "value": round(value, 2),
         "unit": "imgs/sec",
-        "vs_baseline": round(value / (10.0 * cpu), 3),
-    }
-    print(json.dumps(result))
+        "vs_baseline": round(value / baseline, 3),
+    }), flush=True)
+
+
+def main():
+    only_headline = "--headline" in sys.argv
+    if not only_headline:
+        try:
+            _emit("lgspair_multicub_b256_unfused",
+                  measure_spair(fused=False), R1_LGSPAIR_B256_UNFUSED)
+            _emit("lgspair_multicub_b256",
+                  measure_spair(fused=True), R1_LGSPAIR_B256_FUSED)
+        except Exception as e:  # SPAIR configs must never mask the headline
+            print(f"# spair bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+        try:
+            _emit("splitvae_celeba64_b1024",
+                  measure(steps_timed=60, batch=1024), R1_LGVAE_B1024)
+        except Exception as e:
+            print(f"# b1024 bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+    value = measure()
+    cpu = _cpu_baseline()
+    _emit("splitvae_celeba64_train_throughput", value, 10.0 * cpu)
 
 
 if __name__ == "__main__":
