@@ -37,6 +37,7 @@ class BaseConfig:
     log_every: int = 100
     synthetic_data: bool = False  # offline-friendly synthetic datasets
     platform: Optional[str] = None  # override jax platform (e.g. 'cpu')
+    host_data: bool = False  # force host-streaming batches (default: HBM-resident)
     # Multi-host (pod) bring-up: passed to jax.distributed.initialize before
     # mesh creation. On TPU pods leave coordinator unset and pass
     # --num_processes > 1 (or nothing: the TPU runtime autodetects); explicit
@@ -152,6 +153,7 @@ _FLAG_STYLE = {
     "viz", "no_label", "allow_growth", "split_z_l", "dense_bg", "dense_local",
     "concat_bg", "concat_z_what", "concat_backbone", "synthetic_data",
     "debug_nans", "bg_model", "concat_z_bg", "fused_render", "no_fused_render",
+    "host_data",
 }
 
 

@@ -37,30 +37,28 @@ class ArrayDataset:
         return self.images.shape[1:]
 
 
-def iterate_batches(
-    ds: ArrayDataset,
+def _epoch_index_batches(
+    n_total: int,
     batch_size: int,
-    shuffle: bool = True,
-    repeat: bool = False,
-    seed: int = 0,
-    drop_remainder: bool = True,
-    process_index: Optional[int] = None,
-    process_count: Optional[int] = None,
-) -> Iterator:
-    """Yield (images, labels) or images batches; reshuffles every epoch.
+    shuffle: bool,
+    repeat: bool,
+    seed: int,
+    drop_remainder: bool,
+    process_index: Optional[int],
+    process_count: Optional[int],
+) -> Iterator[np.ndarray]:
+    """Shared index stream: one permutation per epoch, per-host disjoint slices.
 
     Multi-host: host k of N consumes a disjoint 1/N slice of each epoch's
     index permutation (all hosts draw the same permutation from the shared
     ``seed``, then slice by ``process_index``), so a pod run never feeds two
     hosts the same example in an epoch. ``batch_size`` is the PER-HOST batch.
-    Defaults read ``jax.process_index()/process_count()`` — single-host runs
-    are unaffected.
+    Both the host-streaming and device-resident loaders consume this stream,
+    so they see identical example orderings for a given seed.
     """
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
-    n_total = len(ds)
     rng = np.random.RandomState(seed)
-    epoch = 0
     while True:
         idx = rng.permutation(n_total) if shuffle else np.arange(n_total)
         if pc > 1:
@@ -74,14 +72,80 @@ def iterate_batches(
             sel = idx[start : start + batch_size]
             if drop_remainder and len(sel) < batch_size:
                 break
-            imgs = ds.images[sel]
-            if ds.labels is not None:
-                yield imgs, ds.labels[sel]
-            else:
-                yield imgs
-        epoch += 1
+            yield sel
         if not repeat:
             return
+
+
+def iterate_batches(
+    ds: ArrayDataset,
+    batch_size: int,
+    shuffle: bool = True,
+    repeat: bool = False,
+    seed: int = 0,
+    drop_remainder: bool = True,
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
+) -> Iterator:
+    """Yield (images, labels) or images host batches; reshuffles every epoch."""
+    for sel in _epoch_index_batches(len(ds), batch_size, shuffle, repeat, seed,
+                                    drop_remainder, process_index, process_count):
+        imgs = ds.images[sel]
+        if ds.labels is not None:
+            yield imgs, ds.labels[sel]
+        else:
+            yield imgs
+
+
+# Datasets up to this many bytes live resident in HBM (v5e has 16 GB; the
+# biggest reference dataset, MultiCUB 100k f32, is 2.8 GB).
+DEVICE_RESIDENT_MAX_BYTES = 6 << 30
+
+
+def device_resident_batches(
+    ds: ArrayDataset,
+    batch_size: int,
+    shuffle: bool = True,
+    repeat: bool = False,
+    seed: int = 0,
+    drop_remainder: bool = True,
+    sharding=None,
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
+) -> Iterator:
+    """Device-resident batching: ship the dataset to HBM ONCE, gather batches
+    on device.
+
+    MEASURED (v5e behind the remote relay): host->device transfers run at
+    ~43-55 MB/s effective and do NOT pipeline, so streaming a B=256 f32
+    MultiCUB batch costs ~130-160 ms against a 29 ms train step — the loop was
+    12x transfer-bound. With the dataset resident, per-step host traffic is a
+    1 KB int32 index array and the gather runs at HBM speed. Example order is
+    IDENTICAL to ``iterate_batches`` (same permutation stream, same seed).
+
+    With a multi-device ``sharding`` for the batch output, the gathered batch
+    is resharded on device (ICI) after the replicated-gather.
+    """
+    import jax.numpy as jnp
+
+    imgs = jax.device_put(ds.images)
+    labels = jax.device_put(ds.labels) if ds.labels is not None else None
+
+    @jax.jit
+    def take(arr, idx):
+        return jnp.take(arr, idx, axis=0)
+
+    def place(x):
+        return x if sharding is None else jax.device_put(x, sharding)
+
+    for sel in _epoch_index_batches(len(ds), batch_size, shuffle, repeat, seed,
+                                    drop_remainder, process_index, process_count):
+        idx = jnp.asarray(sel, jnp.int32)
+        batch = place(take(imgs, idx))
+        if labels is not None:
+            yield batch, place(take(labels, idx))
+        else:
+            yield batch
 
 
 def device_prefetch(iterator: Iterator, size: int = 2, sharding=None) -> Iterator:

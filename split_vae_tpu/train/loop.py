@@ -23,7 +23,12 @@ from split_vae_tpu.core.logging import RunLogger, StepTimer, make_run_dir, maybe
 from split_vae_tpu.core.metrics import MeanMetrics, linear_assignment
 from split_vae_tpu.core.state import create_train_state
 from split_vae_tpu.data import get_vae_dataset
-from split_vae_tpu.data.loader import device_prefetch, iterate_batches
+from split_vae_tpu.data.loader import (
+    DEVICE_RESIDENT_MAX_BYTES,
+    device_prefetch,
+    device_resident_batches,
+    iterate_batches,
+)
 from split_vae_tpu.data.multicub import get_multicub
 from split_vae_tpu.models.spair import LGSPAIR, LGGlimpseSPAIR, get_spair_model
 from split_vae_tpu.models.vae import GMVae, LGGMVae, LGVae
@@ -57,6 +62,23 @@ def build_vae_model(config, image_hw):
     else:
         raise NotImplementedError(config.model)
     return model, tx
+
+
+def _train_iterator(train_ds, config, sharding):
+    """Pick the batch path: device-resident gather when the dataset fits HBM
+    (per-step host traffic = one 1 KB index array; the remote-relay TPU moves
+    bulk host->device data at ~50 MB/s, which transfer-bound the loop 12x),
+    else host streaming with double-buffered prefetch. `-host_data` forces
+    the streaming path."""
+    nbytes = train_ds.images.nbytes + (
+        train_ds.labels.nbytes if train_ds.labels is not None else 0)
+    if not config.host_data and nbytes <= DEVICE_RESIDENT_MAX_BYTES:
+        return device_resident_batches(
+            train_ds, config.batch_size, repeat=True, seed=config.seed,
+            sharding=sharding)
+    return device_prefetch(
+        iterate_batches(train_ds, config.batch_size, repeat=True, seed=config.seed),
+        sharding=sharding)
 
 
 def _apply_platform(config):
@@ -115,9 +137,7 @@ def train_vae(config, max_steps: Optional[int] = None):
                 model, cls_model, gm=isinstance(model, LGGMVae))
 
     labeled = train_ds.labels is not None
-    train_iter = device_prefetch(
-        iterate_batches(train_ds, config.batch_size, repeat=True, seed=config.seed),
-        sharding=sharding)
+    train_iter = _train_iterator(train_ds, config, sharding)
 
     train_metrics = MeanMetrics()
     timer = StepTimer()
@@ -258,9 +278,7 @@ def train_spair(config, max_steps: Optional[int] = None):
     train_step = make_spair_train_step(config)
     eval_step = make_spair_eval_step(config, model.apply)
 
-    train_iter = device_prefetch(
-        iterate_batches(train_ds, config.batch_size, repeat=True, seed=config.seed),
-        sharding=sharding)
+    train_iter = _train_iterator(train_ds, config, sharding)
 
     train_metrics = MeanMetrics()
     timer = StepTimer()

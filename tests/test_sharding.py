@@ -138,6 +138,27 @@ def test_per_host_data_sharding_disjoint():
     assert len(np.unique(all_seen)) == len(all_seen)  # pairwise disjoint
 
 
+def test_device_resident_batches_match_host_path():
+    """The HBM-resident loader must reproduce the host loader's example order
+    exactly (same permutation stream, same seed), including labels."""
+    from split_vae_tpu.data.loader import (
+        ArrayDataset,
+        device_resident_batches,
+        iterate_batches,
+    )
+
+    n = 37
+    ds = ArrayDataset(
+        images=np.arange(n * 4, dtype=np.float32).reshape(n, 2, 2, 1),
+        labels=np.arange(n, dtype=np.int32))
+    host = list(iterate_batches(ds, 8, shuffle=True, seed=5))
+    dev = list(device_resident_batches(ds, 8, shuffle=True, seed=5))
+    assert len(host) == len(dev) == 4
+    for (hi, hl), (di, dl) in zip(host, dev):
+        np.testing.assert_array_equal(hi, np.asarray(di))
+        np.testing.assert_array_equal(hl, np.asarray(dl))
+
+
 def test_maybe_initialize_distributed_noop_single_host():
     """Single-host requests must not attempt jax.distributed.initialize."""
     from unittest import mock

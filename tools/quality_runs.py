@@ -1,0 +1,101 @@
+"""Quality-metric training runs on synthetic data.
+
+The reference's headline claims are runtime-computed quality metrics:
+unsupervised cluster accuracy (vae/trainer.py:345-349, paper Table 2) and
+object-count MAE/MAPE/accuracy (spair/trainer.py:292-301, Table 1). Real
+datasets are undownloadable in this image (zero egress), so these runs
+demonstrate the training loops LEARN — converging metric trajectories on the
+learnable synthetic stand-ins — and their curves are recorded in BASELINE.md.
+
+Usage (run on the TPU, one at a time — the relay starves under host load):
+  python tools/quality_runs.py spair  [--steps 20000]
+  python tools/quality_runs.py gmvae  [--steps 30000]
+
+Outputs: the normal run dir (metrics.jsonl + artifacts) plus a final summary
+line QUALITY_RESULT {...} for easy scraping.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_spair(steps: int, batch: int, out_dir: str):
+    from split_vae_tpu.core.config import SpairConfig
+    from split_vae_tpu.data.multicub import get_multicub
+    from split_vae_tpu.train import loop
+
+    # Larger synthetic MultiCUB than the test-suite default so count metrics
+    # measure generalization, not memorization.
+    loop.get_multicub = functools.partial(get_multicub, n_train=20_000, n_eval=512)
+
+    config = SpairConfig(
+        model="lg_spair", dataset="cub_ckb_rot_6", batch_size=batch,
+        latent_size=64, bg_latent_size=64, local_latent_size=64,
+        z_bg_beta=1.0, z_what_beta=0.5, patch_size=8, split_z_l=True,
+        concat_z_what=True, dense_local=True, dense_bg=True,
+        synthetic_data=True, training_steps=steps, eval_interval=1000,
+        checkpoint_interval=10_000, output_dir=out_dir, log_every=500)
+    state, run_dir = loop.train_spair(config)
+    return run_dir, ("test0/MAE test", "test0/count_acc", "test1/MAE test",
+                     "test1/count_acc")
+
+
+def run_gmvae(steps: int, batch: int, out_dir: str):
+    from split_vae_tpu.core.config import VaeConfig
+    from split_vae_tpu.data import svhn
+    from split_vae_tpu.train import loop
+
+    # Larger synthetic SVHN so the 30-way clustering has data to cluster.
+    _orig = svhn.synthetic_svhn
+    svhn.synthetic_svhn = functools.partial(_orig, n_train=8192, n_test=1024)
+
+    config = VaeConfig(
+        model="lggmvae", dataset="svhn", beta=40.0, alpha=40.0, y_size=30,
+        patch_size=4, batch_size=batch, synthetic_data=True,
+        training_steps=steps, eval_interval=2000, checkpoint_interval=10_000,
+        output_dir=out_dir, log_every=500)
+    state, run_dir = loop.train_vae(config)
+    return run_dir, ("test/classifier_cluster_acc",)
+
+
+def summarize(run_dir: str, keys):
+    path = os.path.join(run_dir, "metrics.jsonl")
+    records = [json.loads(l) for l in open(path)]
+    traj = {k: [] for k in keys}
+    for r in records:
+        for k in keys:
+            if k in r:
+                traj[k].append((r.get("step"), r[k]))
+    summary = {
+        "run_dir": run_dir,
+        "final": {k: v[-1] for k, v in traj.items() if v},
+        "trajectory": {k: v for k, v in traj.items()},
+    }
+    print("QUALITY_RESULT " + json.dumps(summary))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("workload", choices=["spair", "gmvae"])
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--out_dir", default="output")
+    args = ap.parse_args()
+    if args.workload == "spair":
+        run_dir, keys = run_spair(args.steps or 20_000, args.batch or 256,
+                                  args.out_dir)
+    else:
+        run_dir, keys = run_gmvae(args.steps or 30_000, args.batch or 64,
+                                  args.out_dir)
+    summarize(run_dir, keys)
+
+
+if __name__ == "__main__":
+    main()
