@@ -61,7 +61,7 @@ def build_vae_model(config, image_hw):
         tx = optax.adam(schedules.gm_lr_schedule(config.learning_rate))
     else:
         raise NotImplementedError(config.model)
-    return model, tx
+    return model, optim.nan_robust(tx)
 
 
 def _train_iterator(train_ds, config, sharding):
@@ -258,7 +258,8 @@ def train_spair(config, max_steps: Optional[int] = None):
 
     model = get_spair_model(config)
     # Keras Adam(clipnorm=1.0) clips per tensor, not globally (spair/main.py:109).
-    tx = optax.chain(optim.clip_by_per_tensor_norm(1.0), optax.adam(config.learning_rate))
+    tx = optim.nan_robust(optax.chain(
+        optim.clip_by_per_tensor_norm(1.0), optax.adam(config.learning_rate)))
     in_ch = num_channel * 2 if config.model == "lg_spair" else num_channel
     state = create_train_state(
         model, jnp.zeros((config.batch_size, size, size, in_ch), jnp.float32), tx,

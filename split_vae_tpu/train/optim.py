@@ -9,9 +9,33 @@ single exploding tensor does not shrink every other tensor's update.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import optax
+
+
+def nan_robust(tx: optax.GradientTransformation,
+               max_consecutive_errors: int = 20) -> optax.GradientTransformation:
+    """Skip parameter updates whose gradients contain NaN/Inf.
+
+    Framework robustness feature (Redesign — the reference has no protection
+    and a single non-finite gradient poisons the weights permanently, e.g.
+    SPAIR's 1/(s+1e-5) inverse-STN chain under extreme z_where samples).
+    Skipping a non-finite update leaves params/opt-state untouched; after
+    ``max_consecutive_errors`` consecutive bad steps optax gives up and
+    applies (so a systematic divergence still surfaces instead of silently
+    stalling). Loss values and metrics are unaffected on finite steps.
+    """
+    return optax.apply_if_finite(tx, max_consecutive_errors)
+
+
+def notfinite_count(opt_state) -> Optional[jax.Array]:
+    """Total skipped (non-finite) updates from an apply_if_finite wrapper."""
+    if hasattr(opt_state, "total_notfinite"):
+        return opt_state.total_notfinite
+    return None
 
 
 def clip_by_per_tensor_norm(max_norm: float) -> optax.GradientTransformation:

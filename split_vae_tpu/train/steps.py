@@ -24,8 +24,17 @@ import jax.numpy as jnp
 from split_vae_tpu.core.state import TrainState
 from split_vae_tpu.ops.patches import augment_batch
 from split_vae_tpu.train import losses
+from split_vae_tpu.train.optim import notfinite_count
 
 Array = jax.Array
+
+
+def _add_notfinite_metric(metrics, state: TrainState) -> None:
+    """Observability for nan_robust-wrapped optimizers: cumulative count of
+    updates skipped because the gradients contained NaN/Inf."""
+    cnt = notfinite_count(state.opt_state)
+    if cnt is not None:
+        metrics["notfinite_updates"] = cnt.astype(jnp.float32)
 
 
 def normalize_images(batch: Array, mode: str) -> Array:
@@ -89,6 +98,7 @@ def make_vae_train_step(config) -> Callable:
         with matmul_precision(config):
             (_, metrics), grads = jax.value_and_grad(loss, has_aux=True)(state.params)
         state = state.apply_gradients(grads)
+        _add_notfinite_metric(metrics, state)
         return state, metrics
 
     return train_step
@@ -146,6 +156,7 @@ def make_spair_train_step(config) -> Callable:
         with matmul_precision(config):
             (_, metrics), grads = jax.value_and_grad(loss, has_aux=True)(state.params)
         state = state.apply_gradients(grads)
+        _add_notfinite_metric(metrics, state)
         return state, metrics
 
     return train_step

@@ -69,3 +69,25 @@ def test_mape_matches_tf_keras_semantics():
     expected = np.mean(err / np.maximum(np.abs(np.asarray(labels)), 1e-7) * 100.0)
     np.testing.assert_allclose(float(metrics["MAPE test"]), expected, rtol=1e-5)
     np.testing.assert_allclose(float(metrics["MAE test"]), err.mean(), rtol=1e-5)
+
+
+def test_nan_robust_skips_nonfinite_updates():
+    """nan_robust must leave params untouched on NaN/Inf grads and count the
+    skip, then resume applying on the next finite gradient."""
+    from split_vae_tpu.train.optim import nan_robust, notfinite_count
+
+    tx = nan_robust(optax.sgd(1.0))
+    params = {"w": jnp.asarray([1.0, 2.0])}
+    state = tx.init(params)
+
+    bad = {"w": jnp.asarray([jnp.nan, 1.0])}
+    upd, state = tx.update(bad, state, params)
+    params_after_bad = optax.apply_updates(params, upd)
+    np.testing.assert_array_equal(np.asarray(params_after_bad["w"]), [1.0, 2.0])
+    assert int(notfinite_count(state)) == 1
+
+    good = {"w": jnp.asarray([0.5, 0.5])}
+    upd, state = tx.update(good, state, params_after_bad)
+    params_after_good = optax.apply_updates(params_after_bad, upd)
+    np.testing.assert_allclose(np.asarray(params_after_good["w"]), [0.5, 1.5])
+    assert int(notfinite_count(state)) == 1
