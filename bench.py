@@ -79,7 +79,7 @@ def measure(steps_timed: int = STEPS_TIMED, batch: int = BATCH) -> float:
                        patch_size=8, batch_size=batch)
     model = LGVae(config.global_latent_dims, config.local_latent_dims, HW)
     state = create_train_state(
-        model, jnp.zeros((batch, HW[0], HW[1], 6)), optax.adam(config.learning_rate),
+        model, jnp.zeros((batch, HW[0], HW[1], 6)), optax.adam(config.learning_rate, eps=1e-7),
         seed=0)
     train_step = make_vae_train_step(config)
 
@@ -112,7 +112,7 @@ def measure_spair(steps_timed: int = 60, batch: int = 256,
         concat_z_what=True, dense_local=True, dense_bg=True,
         fused_render=fused)
     model = get_spair_model(config)
-    tx = optax.chain(clip_by_per_tensor_norm(1.0), optax.adam(config.learning_rate))
+    tx = optax.chain(clip_by_per_tensor_norm(1.0), optax.adam(config.learning_rate, eps=1e-7))
     state = create_train_state(
         model, jnp.zeros((batch, 48, 48, 6), jnp.float32), tx, seed=0,
         training_kwargs={"training": True})

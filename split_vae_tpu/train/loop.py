@@ -51,14 +51,14 @@ from split_vae_tpu.viz import spair_artifacts as sviz
 def build_vae_model(config, image_hw):
     if config.model == "lgvae":
         model = LGVae(config.global_latent_dims, config.local_latent_dims, image_hw)
-        tx = optax.adam(config.learning_rate)
+        tx = optim.adam(config.learning_rate)
     elif config.model == "lggmvae":
         model = LGGMVae(config.global_latent_dims, config.local_latent_dims, image_hw,
                         config.y_size, config.tau)
-        tx = optax.adam(schedules.gm_lr_schedule(config.learning_rate))
+        tx = optim.adam(schedules.gm_lr_schedule(config.learning_rate))
     elif config.model == "gmvae":
         model = GMVae(config.global_latent_dims, image_hw, config.y_size, config.tau)
-        tx = optax.adam(schedules.gm_lr_schedule(config.learning_rate))
+        tx = optim.adam(schedules.gm_lr_schedule(config.learning_rate))
     else:
         raise NotImplementedError(config.model)
     return model, optim.nan_robust(tx)
@@ -259,7 +259,7 @@ def train_spair(config, max_steps: Optional[int] = None):
     model = get_spair_model(config)
     # Keras Adam(clipnorm=1.0) clips per tensor, not globally (spair/main.py:109).
     tx = optim.nan_robust(optax.chain(
-        optim.clip_by_per_tensor_norm(1.0), optax.adam(config.learning_rate)))
+        optim.clip_by_per_tensor_norm(1.0), optim.adam(config.learning_rate)))
     in_ch = num_channel * 2 if config.model == "lg_spair" else num_channel
     state = create_train_state(
         model, jnp.zeros((config.batch_size, size, size, in_ch), jnp.float32), tx,

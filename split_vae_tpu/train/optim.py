@@ -16,6 +16,19 @@ import jax.numpy as jnp
 import optax
 
 
+def adam(learning_rate, amsgrad: bool = False) -> optax.GradientTransformation:
+    """Adam with Keras defaults: epsilon=1e-7 (optax defaults to 1e-8).
+
+    The reference builds tf.keras.optimizers.Adam everywhere
+    (vae/main.py:65-72, spair/main.py:109; classifier with amsgrad=True at
+    vae/classifier.py:40); Keras' epsilon default is 1e-7, which matters for
+    update magnitudes when second moments are tiny (early SPAIR training).
+    """
+    if amsgrad:
+        return optax.amsgrad(learning_rate, eps=1e-7)
+    return optax.adam(learning_rate, eps=1e-7)
+
+
 def nan_robust(tx: optax.GradientTransformation,
                max_consecutive_errors: int = 20) -> optax.GradientTransformation:
     """Skip parameter updates whose gradients contain NaN/Inf.

@@ -20,6 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from split_vae_tpu.train import optim
+
 from split_vae_tpu.core import checkpoint as ckpt
 from split_vae_tpu.core.metrics import AccuracyMetric, MeanMetrics
 from split_vae_tpu.data.loader import iterate_batches
@@ -99,7 +101,7 @@ def train_classifier(config, epochs: int = None, verbose: bool = True):
     variables = model.init(
         {"params": jax.random.PRNGKey(config.seed), "dropout": jax.random.PRNGKey(1)}, x0
     )
-    tx = optax.adam(1e-4)  # reference uses amsgrad Adam; optax.adam is close
+    tx = optim.adam(1e-4, amsgrad=True)  # Adam(amsgrad=True), vae/classifier.py:40
     opt_state = tx.init(variables["params"])
 
     @jax.jit

@@ -26,7 +26,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_spair(steps: int, batch: int, out_dir: str):
+def run_spair(steps: int, batch: int, out_dir: str, model: str = "lg_spair",
+              lr: float = 1e-4, dataset: str = "cub_ckb_rot_6"):
     from split_vae_tpu.core.config import SpairConfig
     from split_vae_tpu.data.multicub import get_multicub
     from split_vae_tpu.train import loop
@@ -35,11 +36,12 @@ def run_spair(steps: int, batch: int, out_dir: str):
     # measure generalization, not memorization.
     loop.get_multicub = functools.partial(get_multicub, n_train=20_000, n_eval=512)
 
+    lg = model == "lg_spair"
     config = SpairConfig(
-        model="lg_spair", dataset="cub_ckb_rot_6", batch_size=batch,
+        model=model, dataset=dataset, batch_size=batch, learning_rate=lr,
         latent_size=64, bg_latent_size=64, local_latent_size=64,
-        z_bg_beta=1.0, z_what_beta=0.5, patch_size=8, split_z_l=True,
-        concat_z_what=True, dense_local=True, dense_bg=True,
+        z_bg_beta=1.0, z_what_beta=0.5, patch_size=8, split_z_l=lg,
+        concat_z_what=lg, dense_local=lg, dense_bg=lg,
         synthetic_data=True, training_steps=steps, eval_interval=1000,
         checkpoint_interval=10_000, output_dir=out_dir, log_every=500)
     state, run_dir = loop.train_spair(config)
@@ -86,11 +88,15 @@ def main():
     ap.add_argument("workload", choices=["spair", "gmvae"])
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--model", default="lg_spair")
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--dataset", default="cub_ckb_rot_6")
     ap.add_argument("--out_dir", default="output")
     args = ap.parse_args()
     if args.workload == "spair":
         run_dir, keys = run_spair(args.steps or 20_000, args.batch or 256,
-                                  args.out_dir)
+                                  args.out_dir, model=args.model, lr=args.lr,
+                                  dataset=args.dataset)
     else:
         run_dir, keys = run_gmvae(args.steps or 30_000, args.batch or 64,
                                   args.out_dir)
