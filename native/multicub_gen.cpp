@@ -82,13 +82,18 @@ inline void sample_bilinear(const float* src, int h, int w, float y, float x,
 extern "C" {
 
 // bg_mode: 0=solid_fixed(palette) 1=solid_random 2=white 3=ckb 4=ckb_rot
+//          5=texture (random pick from a host-supplied grayscale bank)
 // palette: [n_colors, 3] in [0, 1]; cell: ckb cell count (mode 3) or cell px
 // (mode 4). sprites: [n_sprites, 14, 14, 3] in [0, 255] (nonzero = fg).
-// out_images: [n_samples, size, size, 3]; out_counts: [n_samples].
+// textures: [n_textures, size, size] grayscale in [0, 1] (mode 5 only; the
+// host loads Kylberg files or synthesizes the offline procedural bank —
+// spair/data.py:49,83-87). out_images: [n_samples, size, size, 3];
+// out_counts: [n_samples].
 void multicub_generate(const float* sprites, int n_sprites, float* out_images,
                        float* out_counts, int n_samples, int size,
                        int max_objects, int bg_mode, const float* palette,
-                       int n_colors, int cell, uint64_t seed) {
+                       int n_colors, int cell, uint64_t seed,
+                       const float* textures, int n_textures) {
   std::mt19937_64 rng(seed);
   std::uniform_int_distribution<int> count_dist(0, max_objects);
   std::uniform_int_distribution<int> pos_dist(0, size - kSprite - 1);
@@ -138,6 +143,12 @@ void multicub_generate(const float* sprites, int n_sprites, float* out_images,
           float xs = sa * yo + ca * xo + cbig;
           sample_bilinear(big.data(), big_hw, big_hw, ys, xs, img + (i * size + j) * 3);
         }
+      }
+    } else if (bg_mode == 5 && textures != nullptr && n_textures > 0) {
+      const float* tex =
+          textures + static_cast<int64_t>(rng() % n_textures) * size * size;
+      for (int p = 0; p < size * size; ++p) {
+        img[p * 3] = img[p * 3 + 1] = img[p * 3 + 2] = tex[p];
       }
     }
 

@@ -74,3 +74,28 @@ def test_cache_uses_native_or_fallback(tmp_path):
     with np.load(path) as z:
         assert z["train"].shape == (8, 48, 48, 3)
         assert z["test_unseen"].shape == (4, 48, 48, 3)
+
+
+def test_native_texture_mode():
+    """Mode 5: texture backgrounds from a host-built bank (Kylberg when
+    present, procedural fallback). Non-sprite pixels must be grayscale from
+    the bank; counts valid."""
+    from split_vae_tpu.data import native
+    from split_vae_tpu.data.multicub import synthetic_sprites
+
+    sprites = synthetic_sprites(8, seed=0)
+    palette = np.zeros((1, 3), np.float32)
+    result = native.generate(sprites, 16, 48, "texture", palette, seed=3)
+    if result is None:
+        pytest.skip("no native compiler")
+    imgs, counts = result
+    assert imgs.shape == (16, 48, 48, 3)
+    assert counts.min() >= 0 and counts.max() <= 5
+    assert np.isfinite(imgs).all() and imgs.min() >= 0 and imgs.max() <= 1
+    # zero-count image: pure texture -> all three channels equal (grayscale)
+    zeros = np.where(counts == 0)[0]
+    if zeros.size:
+        img = imgs[zeros[0]]
+        np.testing.assert_allclose(img[..., 0], img[..., 1], atol=1e-6)
+        np.testing.assert_allclose(img[..., 0], img[..., 2], atol=1e-6)
+        assert img.std() > 0.01  # textured, not solid
