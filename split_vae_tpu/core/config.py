@@ -36,6 +36,7 @@ class BaseConfig:
     debug_nans: bool = False
     log_every: int = 100
     synthetic_data: bool = False  # offline-friendly synthetic datasets
+    synthetic_size: int = 0  # >0 overrides the synthetic train-set size
     platform: Optional[str] = None  # override jax platform (e.g. 'cpu')
     host_data: bool = False  # force host-streaming batches (default: HBM-resident)
     # Multi-host (pod) bring-up: passed to jax.distributed.initialize before

@@ -70,7 +70,9 @@ def synthetic_celeba(size: int = 64, n_train: int = 512, n_test: int = 128, seed
 def get_celeba(config, size: int = 64):
     """Returns (train, test ArrayDatasets, input_shape)."""
     if config.synthetic_data:
-        x_train, x_test = synthetic_celeba(size=size, seed=config.seed)
+        n = getattr(config, "synthetic_size", 0) or 512
+        x_train, x_test = synthetic_celeba(
+            size=size, n_train=n, n_test=max(128, n // 8), seed=config.seed)
     else:
         cache_dir = os.path.join(config.data_dir, "celeba")
         train_path = os.path.join(cache_dir, f"train_{size}x{size}.npy")

@@ -243,7 +243,9 @@ def get_multicub(config, n_train: Optional[int] = None, n_eval: Optional[int] = 
 
     Mirrors get_cub_dataset (spair/data.py:258-278).
     """
-    n_train = n_train if n_train is not None else (2048 if config.synthetic_data else 100_000)
+    if n_train is None:
+        n_train = (getattr(config, "synthetic_size", 0) or 2048) \
+            if config.synthetic_data else 100_000
     n_eval = n_eval if n_eval is not None else (256 if config.synthetic_data else 1_000)
     path = create_multicub_cache(
         config.dataset, config.data_dir, n_train=n_train, n_eval=n_eval,

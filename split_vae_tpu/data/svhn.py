@@ -76,7 +76,10 @@ def synthetic_svhn(n_train: int = 512, n_test: int = 128, seed: int = 0):
 def get_svhn(config, extra: bool = True):
     """Returns (train ArrayDataset, test ArrayDataset, input_shape [-1,H,W,C])."""
     if config.synthetic_data:
-        x_train, y_train, x_test, y_test = synthetic_svhn(seed=config.seed)
+        x_train, y_train, x_test, y_test = synthetic_svhn(
+            n_train=getattr(config, "synthetic_size", 0) or 512,
+            n_test=max(128, (getattr(config, "synthetic_size", 0) or 512) // 8),
+            seed=config.seed)
         x_extra = x_train[:0]
         y_extra = y_train[:0]
     else:

@@ -418,6 +418,8 @@ def fused_decode_render(decoder, rng_key, z_what, z_where, z_depth, z_pres,
     obj_bbox_mask, x_recon).
     """
     from split_vae_tpu.ops.pallas.render_fused import fused_paste_render
+    from split_vae_tpu.ops.pallas.render_packed import (
+        fused_paste_render_packed, packing_supported)
 
     obj_ru, obj_ra, (wy, wx), bbox = decoder(z_what, z_where, fused=True)
     concat = jnp.concatenate([obj_ru, obj_ra], axis=-1)
@@ -431,8 +433,12 @@ def fused_decode_render(decoder, rng_key, z_what, z_where, z_depth, z_pres,
     # The in-kernel PRNG has no CPU interpreter rule; render noise (a train-time
     # regularizer, spair/spair.py:539) is dropped when interpreting on CPU.
     noise = 0.0 if interpret else noise_scale
-    x_recon = fused_paste_render(concat, wy, wx, zp, wd, bg_img, seed,
-                                 noise, interpret)
+    # Prefer the sublane-packed kernel (3 MXU passes/cell vs 8) when the
+    # object/canvas sizes satisfy its 8-row block alignment.
+    render_fn = (fused_paste_render_packed
+                 if packing_supported(concat.shape[2], image_hw)
+                 else fused_paste_render)
+    x_recon = render_fn(concat, wy, wx, zp, wd, bg_img, seed, noise, interpret)
     return obj_ru, obj_ra, bbox, x_recon
 
 

@@ -9,7 +9,7 @@ single exploding tensor does not shrink every other tensor's update.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,23 +29,50 @@ def adam(learning_rate, amsgrad: bool = False) -> optax.GradientTransformation:
     return optax.adam(learning_rate, eps=1e-7)
 
 
-def nan_robust(tx: optax.GradientTransformation,
-               max_consecutive_errors: int = 20) -> optax.GradientTransformation:
-    """Skip parameter updates whose gradients contain NaN/Inf.
+class SkipNonFiniteState(NamedTuple):
+    total_notfinite: jax.Array  # int32 count of skipped updates
+    inner_state: optax.OptState
+
+
+def nan_robust(tx: optax.GradientTransformation) -> optax.GradientTransformation:
+    """Skip parameter updates whose gradients contain NaN/Inf — always.
 
     Framework robustness feature (Redesign — the reference has no protection
     and a single non-finite gradient poisons the weights permanently, e.g.
     SPAIR's 1/(s+1e-5) inverse-STN chain under extreme z_where samples).
-    Skipping a non-finite update leaves params/opt-state untouched; after
-    ``max_consecutive_errors`` consecutive bad steps optax gives up and
-    applies (so a systematic divergence still surfaces instead of silently
-    stalling). Loss values and metrics are unaffected on finite steps.
+    Skipping a non-finite update leaves params AND optimizer state untouched.
+
+    Unlike ``optax.apply_if_finite`` there is NO give-up threshold: that
+    wrapper *applies* the poisoned update after ``max_consecutive_errors``
+    consecutive bad steps, which permanently NaNs the weights (observed in
+    round-2 quality runs: LG-SPAIR hit a non-finite-gradient burst around the
+    z_pres anneal midpoint and apply_if_finite(20) destroyed the run at step
+    ~5.8k). A systematic divergence still surfaces through the exported
+    ``notfinite_updates`` metric and a flatlining loss instead of through
+    corrupted weights. Loss values and metrics are unaffected on finite steps.
     """
-    return optax.apply_if_finite(tx, max_consecutive_errors)
+
+    def init_fn(params):
+        return SkipNonFiniteState(jnp.zeros([], jnp.int32), tx.init(params))
+
+    def update_fn(updates, state, params=None):
+        inner_updates, inner_state = tx.update(updates, state.inner_state, params)
+        leaves = jax.tree.leaves(updates) + jax.tree.leaves(inner_updates)
+        isfinite = jnp.all(
+            jnp.asarray([jnp.all(jnp.isfinite(u)) for u in leaves]))
+        new_updates = jax.tree.map(
+            lambda u: jnp.where(isfinite, u, jnp.zeros_like(u)), inner_updates)
+        new_inner = jax.tree.map(
+            lambda new, old: jnp.where(isfinite, new, old),
+            inner_state, state.inner_state)
+        count = state.total_notfinite + jnp.where(isfinite, 0, 1).astype(jnp.int32)
+        return new_updates, SkipNonFiniteState(count, new_inner)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def notfinite_count(opt_state) -> Optional[jax.Array]:
-    """Total skipped (non-finite) updates from an apply_if_finite wrapper."""
+    """Total skipped (non-finite) updates from a nan_robust wrapper."""
     if hasattr(opt_state, "total_notfinite"):
         return opt_state.total_notfinite
     return None

@@ -91,3 +91,26 @@ def test_nan_robust_skips_nonfinite_updates():
     params_after_good = optax.apply_updates(params_after_bad, upd)
     np.testing.assert_allclose(np.asarray(params_after_good["w"]), [0.5, 1.5])
     assert int(notfinite_count(state)) == 1
+
+
+def test_nan_robust_never_gives_up():
+    """Regression: optax.apply_if_finite(tx, n) APPLIES the poisoned update
+    after n consecutive bad steps (observed destroying a 30k-step LG-SPAIR
+    run); nan_robust must skip indefinitely and keep Adam state clean."""
+    from split_vae_tpu.train.optim import nan_robust, notfinite_count
+
+    tx = nan_robust(optax.adam(0.1))
+    params = {"w": jnp.asarray([1.0, 2.0])}
+    state = tx.init(params)
+    bad = {"w": jnp.asarray([jnp.nan, jnp.inf])}
+    for _ in range(50):  # far past apply_if_finite's default threshold
+        upd, state = tx.update(bad, state, params)
+        params = optax.apply_updates(params, upd)
+    np.testing.assert_array_equal(np.asarray(params["w"]), [1.0, 2.0])
+    assert int(notfinite_count(state)) == 50
+
+    good = {"w": jnp.asarray([1.0, 1.0])}
+    upd, state = tx.update(good, state, params)
+    params = optax.apply_updates(params, upd)
+    assert np.all(np.isfinite(np.asarray(params["w"])))
+    assert not np.array_equal(np.asarray(params["w"]), [1.0, 2.0])
