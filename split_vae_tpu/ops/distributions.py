@@ -196,11 +196,38 @@ def concrete_binary_sample_kl(
     return log_posterior - log_prior
 
 
+@jax.custom_jvp
 def safe_log(value: Array, replacement_value: float = -100.0, eps: float = 1e-8) -> Array:
-    """log(value + 1e-8) with NaN/Inf replaced by -100 (spair/trainer.py:97-101)."""
+    """log(value + 1e-8) with NaN/Inf replaced by -100 (spair/trainer.py:97-101).
+
+    Redesign (numerics): carries a custom derivative so the gradient is total.
+    The autodiff cotangent of the ``where`` is ``select(bad, 0, g) / (value +
+    eps)``, and XLA's algebraic simplifier can constant-fold the epsilon away
+    across an upstream subtraction — e.g. ``(1 - pred) + 1e-8`` reassociates to
+    ``(1 + 1e-8) - pred`` whose folded constant rounds to exactly ``1.0f`` —
+    so at ``pred == 1`` the denominator becomes 0 and the masked cotangent is
+    ``0/0 = NaN``, which poisoned every SPAIR gradient once z_pres saturated
+    (observed as the round-2 quality-run stall; repro in tests). The custom
+    derivative applies the replacement mask AFTER the division, so a folded
+    ``inf`` becomes a clean 0 on the replaced branch and the reference's
+    ``1/(value+eps)`` everywhere else.
+    """
     log_value = jnp.log(value + eps)
     bad = jnp.logical_or(jnp.isnan(log_value), jnp.isinf(log_value))
     return jnp.where(bad, jnp.full_like(log_value, replacement_value), log_value)
+
+
+@safe_log.defjvp
+def _safe_log_jvp(primals, tangents):
+    value, replacement_value, eps = primals
+    t_value = tangents[0]
+    log_value = jnp.log(value + eps)
+    bad = jnp.logical_or(jnp.isnan(log_value), jnp.isinf(log_value))
+    out = jnp.where(bad, jnp.full_like(log_value, replacement_value), log_value)
+    deriv = 1.0 / (value + eps)
+    deriv = jnp.where(jnp.logical_or(bad, ~jnp.isfinite(deriv)),
+                      jnp.zeros_like(deriv), deriv)
+    return out, deriv * t_value
 
 
 def bernoulli_xent(label: Array, pred: Array) -> Array:

@@ -134,3 +134,23 @@ def test_reparameterize_statistics(key):
     z = D.reparameterize(key, mean, sigma)
     assert abs(float(z.mean()) - 2.0) < 0.01
     assert abs(float(z.std()) - 0.5) < 0.01
+
+
+def test_safe_log_grad_total_under_jit():
+    """Regression: XLA folds '(1 - pred) + 1e-8' to '(1+1e-8) - pred' whose
+    constant rounds to exactly 1.0f, so at pred==1 the safe_log cotangent was
+    select(bad,0,g)/0 = NaN under jit (poisoned all SPAIR grads once z_pres
+    saturated). safe_log's custom JVP must stay finite for any input, jitted
+    or eager."""
+    from split_vae_tpu.ops.distributions import bernoulli_xent, safe_log
+
+    f = lambda p: bernoulli_xent(jnp.float32(0.5), p)
+    for delta in [0.0, 1e-8, 1e-7, -1e-7, 0.5, -2.0]:
+        p = jnp.float32(1.0) + jnp.float32(delta)
+        for g in (jax.jit(jax.grad(f))(p), jax.grad(f)(p)):
+            assert np.isfinite(float(g)), (delta, float(g))
+    # interior derivative matches log(value + eps)
+    g = jax.grad(safe_log)(jnp.float32(2.0))
+    np.testing.assert_allclose(float(g), 1.0 / (2.0 + 1e-8), rtol=1e-6)
+    # replaced branch has zero derivative
+    assert float(jax.grad(safe_log)(jnp.float32(-1.0))) == 0.0
