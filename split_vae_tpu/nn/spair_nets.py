@@ -330,9 +330,24 @@ class SpairEncoder(nn.Module):
         # the fused Pallas kernel (no [B,K,h,W,C] intermediate in HBM).
         if self.use_pallas:
             from split_vae_tpu.ops.pallas.crop_fused import fused_stn_crop
+            from split_vae_tpu.ops.pallas.crop_packed import (
+                crop_packing_supported, fused_stn_crop_packed)
+            from split_vae_tpu.ops.stn import (
+                _interp_matrix, _sample_coords, zwhere_to_params)
 
-            all_glimpses, _ = fused_stn_crop(
-                x, z_where_grid, (self.object_size, self.object_size))
+            os_hw = (self.object_size, self.object_size)
+            if crop_packing_supported((x.shape[1], x.shape[2]), os_hw,
+                                      x.shape[3]):
+                # Packed kernel (~3x fewer MXU passes); weight build stays in
+                # jnp autodiff, identical to fused_stn_crop's.
+                sx, sy, tx, ty = zwhere_to_params(z_where_grid)
+                xs = _sample_coords(sx, tx, os_hw[1], x.shape[2])
+                ys = _sample_coords(sy, ty, os_hw[0], x.shape[1])
+                wx = _interp_matrix(xs, x.shape[2])
+                wy = _interp_matrix(ys, x.shape[1])
+                all_glimpses = fused_stn_crop_packed(x, wy, wx)
+            else:
+                all_glimpses, _ = fused_stn_crop(x, z_where_grid, os_hw)
         else:
             all_glimpses, _ = stn_crop(
                 x, z_where_grid, (self.object_size, self.object_size))
