@@ -61,7 +61,8 @@ def _warmup_then_time(train_step, state, batches, batch_size, steps_timed,
     return steps_timed * batch_size / dt
 
 
-def measure(steps_timed: int = STEPS_TIMED, batch: int = BATCH) -> float:
+def measure(steps_timed: int = STEPS_TIMED, batch: int = BATCH,
+            compute_dtype: str = "float32") -> float:
     """LGVae CelebA64 training step (BASELINE.json config #2)."""
     from split_vae_tpu.core.runtime import setup_runtime
 
@@ -73,10 +74,12 @@ def measure(steps_timed: int = STEPS_TIMED, batch: int = BATCH) -> float:
     from split_vae_tpu.core.config import VaeConfig
     from split_vae_tpu.core.state import create_train_state
     from split_vae_tpu.models.vae import LGVae
+    from split_vae_tpu.nn.common import set_activation_dtype
     from split_vae_tpu.train.steps import make_vae_train_step
 
+    set_activation_dtype(compute_dtype)
     config = VaeConfig(model="lgvae", dataset="celeba64", no_label=True, beta=30.0,
-                       patch_size=8, batch_size=batch)
+                       patch_size=8, batch_size=batch, compute_dtype=compute_dtype)
     model = LGVae(config.global_latent_dims, config.local_latent_dims, HW)
     state = create_train_state(
         model, jnp.zeros((batch, HW[0], HW[1], 6)), optax.adam(config.learning_rate, eps=1e-7),
@@ -90,7 +93,7 @@ def measure(steps_timed: int = STEPS_TIMED, batch: int = BATCH) -> float:
 
 
 def measure_spair(steps_timed: int = 60, batch: int = 256,
-                  fused: bool = True) -> float:
+                  fused: bool = True, compute_dtype: str = "float32") -> float:
     """LG-SPAIR Multi-Bird-Hard training step (BASELINE.json config #5)."""
     from split_vae_tpu.core.runtime import setup_runtime
 
@@ -105,12 +108,15 @@ def measure_spair(steps_timed: int = 60, batch: int = 256,
     from split_vae_tpu.train.optim import clip_by_per_tensor_norm
     from split_vae_tpu.train.steps import make_spair_train_step
 
+    from split_vae_tpu.nn.common import set_activation_dtype
+
+    set_activation_dtype(compute_dtype)
     config = SpairConfig(
         model="lg_spair", dataset="cub_ckb_rot_6", batch_size=batch,
         latent_size=64, bg_latent_size=64, local_latent_size=64,
         z_bg_beta=1.0, z_what_beta=0.5, patch_size=8, split_z_l=True,
         concat_z_what=True, dense_local=True, dense_bg=True,
-        fused_render=fused)
+        fused_render=fused, compute_dtype=compute_dtype)
     model = get_spair_model(config)
     tx = optax.chain(clip_by_per_tensor_norm(1.0), optax.adam(config.learning_rate, eps=1e-7))
     state = create_train_state(
@@ -170,11 +176,17 @@ def main():
                   measure_spair(fused=False), R1_LGSPAIR_B256_UNFUSED)
             _emit("lgspair_multicub_b256",
                   measure_spair(fused=True), R1_LGSPAIR_B256_FUSED)
+            _emit("lgspair_multicub_b256_bf16",
+                  measure_spair(fused=True, compute_dtype="bfloat16"),
+                  R1_LGSPAIR_B256_FUSED)
         except Exception as e:  # SPAIR configs must never mask the headline
             print(f"# spair bench failed: {type(e).__name__}: {e}", file=sys.stderr)
         try:
             _emit("splitvae_celeba64_b1024",
                   measure(steps_timed=60, batch=1024), R1_LGVAE_B1024)
+            _emit("splitvae_celeba64_b1024_bf16",
+                  measure(steps_timed=60, batch=1024, compute_dtype="bfloat16"),
+                  R1_LGVAE_B1024)
         except Exception as e:
             print(f"# b1024 bench failed: {type(e).__name__}: {e}", file=sys.stderr)
     value = measure()

@@ -70,6 +70,9 @@ def zwhere_to_params(
 
     Reference: spair/utils.py:142-145,180-183.
     """
+    # Geometry stays f32: bf16 sample coordinates (8-bit mantissa over a
+    # 0..47 pixel range) would quantize box positions by up to ~0.25 px.
+    z_where = z_where.astype(jnp.float32)
     b, gh, gw, _ = z_where.shape
     bias_tx_1d, bias_ty_1d = _cell_bias(gh, gw, cell_ratio)
     bias_tx = jnp.asarray(bias_tx_1d, dtype=z_where.dtype)[None, :]  # [1, gw]

@@ -86,6 +86,10 @@ def _apply_platform(config):
     from split_vae_tpu.parallel.mesh import maybe_initialize_distributed
 
     setup_runtime(config.platform)
+    # bf16 activations when --compute_dtype bfloat16 (params stay f32).
+    from split_vae_tpu.nn.common import set_activation_dtype
+
+    set_activation_dtype(config.compute_dtype)
     # Multi-host (pod) bring-up, before any device query builds the local-only
     # view (--coordinator/--num_processes/--process_id; no-op single-host).
     maybe_initialize_distributed(

@@ -33,6 +33,18 @@ from split_vae_tpu.train import schedules
 Array = jax.Array
 
 
+def _upcast(out):
+    """Cast model outputs to f32 for loss math.
+
+    With --compute_dtype bfloat16 the modules emit bf16 activations; losses
+    (logs, KLs, reductions over thousands of pixels) must accumulate in f32
+    or the 8-bit mantissa corrupts totals. No-op for the default f32 path.
+    """
+    return jax.tree.map(
+        lambda a: a.astype(jnp.float32)
+        if hasattr(a, "dtype") and a.dtype == jnp.bfloat16 else a, out)
+
+
 def _recon_nll(x: Array, mean: Array, log_scale: Array) -> Array:
     """mean over batch of pixel-summed discretized-logistic NLL
     (vae/trainer.py:127-128)."""
@@ -43,6 +55,7 @@ def _recon_nll(x: Array, mean: Array, log_scale: Array) -> Array:
 
 def lgvae_loss(out: LGVaeOutput, images: Array, beta: float) -> Tuple[Array, Dict]:
     """total = x_recon + x_hat_recon + beta*KL(concat z) (vae/trainer.py:120-144)."""
+    out = _upcast(out)
     x, x_hat = images[..., :3], images[..., 3:]
     x_recon_loss = _recon_nll(x, out.x_mean, out.x_log_scale)
     x_hat_recon_loss = _recon_nll(x_hat, out.x_hat_mean, out.x_hat_log_scale)
@@ -67,6 +80,7 @@ def lggmvae_loss(
     out: LGGMVaeOutput, images: Array, beta: float, alpha: float, y_size: int
 ) -> Tuple[Array, Dict]:
     """vae/trainer.py:146-173."""
+    out = _upcast(out)
     x, x_hat = images[..., :3], images[..., 3:]
     x_recon_loss = _recon_nll(x, out.x_mean, out.x_log_scale)
     x_hat_recon_loss = _recon_nll(x_hat, out.x_hat_mean, out.x_hat_log_scale)
@@ -88,6 +102,7 @@ def gmvae_loss(
     out: GMVaeOutput, images: Array, beta: float, alpha: float, y_size: int
 ) -> Tuple[Array, Dict]:
     """vae/trainer.py:175-195."""
+    out = _upcast(out)
     x = images[..., :3]
     x_recon_loss = _recon_nll(x, out.x_mean, out.x_log_scale)
     x_kl = gaussian_kl_two(out.z_mean_x, out.z_sig_x, out.z_prior_mean, out.z_prior_sig)
@@ -110,6 +125,7 @@ def spair_loss(
     the annealings are pinned: prior_z_pres_prob = 0.99 and
     prior_z_zoom_mean = config.prior_z_zoom.
     """
+    out = _upcast(out)
     if config.model == "lg_spair":
         x, x_hat = images[..., :3], images[..., 3:]
     else:

@@ -48,7 +48,16 @@ def timeit(fn, args, n=50, warmup_s=120):
 
 
 def report(name, ms):
-    print(f"{name:34s} {ms:8.3f} ms")
+    if callable(ms):
+        # Lazy form: report(name, lambda: timeit(...)) — one tunnel flake
+        # (the remote TPU backend intermittently errors) skips a line, not
+        # the whole profile.
+        try:
+            ms = ms()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:34s}   FAILED: {type(e).__name__}", flush=True)
+            return
+    print(f"{name:34s} {ms:8.3f} ms", flush=True)
 
 
 def profile_spair(batch):
@@ -79,8 +88,8 @@ def profile_spair(batch):
         state = create_train_state(model, jnp.zeros((batch, size, size, 6)), tx,
                                    training_kwargs={"training": True})
         step = make_spair_train_step(cfg)
-        ms = timeit(lambda s, b: step(s, b)[1]["total_loss"], (state, x3))
-        report(f"full train step (fused={fused})", ms)
+        report(f"full train step (fused={fused})",
+               lambda: timeit(lambda s, b: step(s, b)[1]["total_loss"], (state, x3)))
         # state was donated; rebuild for the next measurement
         del state
 
@@ -92,28 +101,28 @@ def profile_spair(batch):
 
     fwd = jax.jit(lambda p, x, k: model.apply(
         {"params": p}, x, True, rngs={"sample": k}).x_recon)
-    report("forward only (fused)", timeit(fwd, (params, x6, key)))
+    report("forward only (fused)", lambda: timeit(fwd, (params, x6, key)))
 
     # augmentation
     aug = jax.jit(lambda k, x: augment_batch(k, x, "scramble", 8))
-    report("augment scramble p8", timeit(aug, (key, x3)))
+    report("augment scramble p8", lambda: timeit(aug, (key, x3)))
 
     # encoder alone (crop + obj encoder + heads)
     enc = SpairEncoder(os_, latent, 0.8, use_pallas=jax.default_backend() == "tpu")
     enc_vars = enc.init({"params": jax.random.PRNGKey(0), "sample": key}, x3)
     enc_fwd = jax.jit(lambda p, x, k: enc.apply(
         {"params": p}, x, rngs={"sample": k})[0])
-    report("SpairEncoder fwd", timeit(enc_fwd, (enc_vars["params"], x3, key)))
+    report("SpairEncoder fwd", lambda: timeit(enc_fwd, (enc_vars["params"], x3, key)))
 
     # count prior KL alone (fwd + grad)
     logits = jnp.asarray(rng.randn(batch, 4, 4, 1).astype(np.float32))
     pre = jnp.asarray(rng.randn(batch, 4, 4, 1).astype(np.float32))
     cp = jax.jit(lambda l, p: z_pres_count_kl(
         jax.nn.sigmoid(p), l, p, jnp.float32(0.9), 0.8))
-    report("count-prior KL fwd", timeit(cp, (logits, pre)))
+    report("count-prior KL fwd", lambda: timeit(cp, (logits, pre)))
     cpg = jax.jit(jax.grad(lambda l, p: z_pres_count_kl(
         jax.nn.sigmoid(p), l, p, jnp.float32(0.9), 0.8)))
-    report("count-prior KL grad", timeit(cpg, (logits, pre)))
+    report("count-prior KL grad", lambda: timeit(cpg, (logits, pre)))
 
     # fused paste+render alone: fwd and fwd+bwd
     from split_vae_tpu.ops.pallas.render_fused import fused_paste_render
@@ -128,13 +137,13 @@ def profile_spair(batch):
     bg = jnp.asarray(rng.uniform(0, 1, (batch, size, size, 3)).astype(np.float32))
 
     pr = jax.jit(lambda *a: fused_paste_render(*a, 0.01, False))
-    report("fused paste+render fwd", timeit(pr, (objs, wy, wx, zp, wd, bg, 7)))
+    report("fused paste+render fwd", lambda: timeit(pr, (objs, wy, wx, zp, wd, bg, 7)))
 
     def loss_pr(objs, wy, wx, zp, wd, bg):
         return jnp.sum(fused_paste_render(objs, wy, wx, zp, wd, bg, 7, 0.01, False))
 
     prg = jax.jit(jax.grad(loss_pr, argnums=(0, 1, 2, 3, 4, 5)))
-    report("fused paste+render fwd+bwd", timeit(prg, (objs, wy, wx, zp, wd, bg)))
+    report("fused paste+render fwd+bwd", lambda: timeit(prg, (objs, wy, wx, zp, wd, bg)))
 
     # unfused paste+render (XLA einsum path), fwd+bwd
     from split_vae_tpu.nn.spair_nets import render
@@ -148,7 +157,36 @@ def profile_spair(batch):
     zd = jnp.asarray(rng.randn(batch, 4, 4, 1).astype(np.float32))
     zp_grid = zp.reshape(batch, 4, 4, 1)
     unfg = jax.jit(jax.grad(loss_unf, argnums=(0, 1)))
-    report("unfused paste+render fwd+bwd", timeit(unfg, (objs, zw, zd, zp_grid, logits)))
+    report("unfused paste+render fwd+bwd", lambda: timeit(unfg, (objs, zw, zd, zp_grid, logits)))
+
+    # packed paste+render (sublane-stacked channels), fwd and fwd+bwd
+    from split_vae_tpu.ops.pallas.render_packed import fused_paste_render_packed
+
+    pp = jax.jit(lambda *a: fused_paste_render_packed(*a, 0.01, False))
+    report("packed paste+render fwd", lambda: timeit(pp, (objs, wy, wx, zp, wd, bg, 7)))
+
+    def loss_pp(objs, wy, wx, zp, wd, bg):
+        return jnp.sum(fused_paste_render_packed(objs, wy, wx, zp, wd, bg, 7, 0.01, False))
+
+    ppg = jax.jit(jax.grad(loss_pp, argnums=(0, 1, 2, 3, 4, 5)))
+    report("packed paste+render fwd+bwd", lambda: timeit(ppg, (objs, wy, wx, zp, wd, bg)))
+
+    # crop kernels: unpacked vs packed, fwd and fwd+bwd (6-channel LG input)
+    from split_vae_tpu.ops.pallas.crop_fused import fused_stn_crop_apply
+    from split_vae_tpu.ops.pallas.crop_packed import fused_stn_crop_packed
+    from split_vae_tpu.ops import stn as stn_mod
+
+    sx, sy, tx, ty = stn_mod.zwhere_to_params(zw)
+    cwx = stn_mod._interp_matrix(stn_mod._sample_coords(sx, tx, os_, size), size)
+    cwy = stn_mod._interp_matrix(stn_mod._sample_coords(sy, ty, os_, size), size)
+    for name, fn in (("unpacked", fused_stn_crop_apply),
+                     ("packed", fused_stn_crop_packed)):
+        cf = jax.jit(lambda img, wy_, wx_, fn=fn: fn(img, wy_, wx_))
+        report(f"crop {name} fwd", lambda: timeit(cf, (x6, cwy, cwx)))
+        cg = jax.jit(jax.grad(
+            lambda img, wy_, wx_, fn=fn: jnp.sum(fn(img, wy_, wx_)),
+            argnums=(0, 1, 2)))
+        report(f"crop {name} fwd+bwd", lambda: timeit(cg, (x6, cwy, cwx)))
 
 
 def profile_vae(batch):
@@ -174,7 +212,7 @@ def profile_vae(batch):
     state = create_train_state(model, jnp.zeros((batch, 64, 64, 6)),
                                optax.adam(1e-4))
     step = make_vae_train_step(config)
-    report("full train step", timeit(lambda s, b: step(s, b)[1]["total_loss"],
+    report("full train step", lambda: timeit(lambda s, b: step(s, b)[1]["total_loss"],
                                      (state, raw)))
 
     model = LGVae(128, 128, hw)
@@ -183,40 +221,40 @@ def profile_vae(batch):
     params = state.params
     fwd = jax.jit(lambda p, x, k: model.apply(
         {"params": p}, x, rngs={"sample": k}).x_mean)
-    report("forward only", timeit(fwd, (params, x6, key)))
+    report("forward only", lambda: timeit(fwd, (params, x6, key)))
 
     aug = jax.jit(lambda k, x: augment_batch(k, x, "scramble", 8))
-    report("augment scramble p8", timeit(aug, (key, x3)))
+    report("augment scramble p8", lambda: timeit(aug, (key, x3)))
 
     enc = ConvEncoder(128)
     enc_vars = enc.init({"params": jax.random.PRNGKey(0), "sample": key}, x3)
     enc_f = jax.jit(lambda p, x, k: enc.apply({"params": p}, x,
                                               rngs={"sample": k})[0])
-    report("ConvEncoder fwd", timeit(enc_f, (enc_vars["params"], x3, key)))
+    report("ConvEncoder fwd", lambda: timeit(enc_f, (enc_vars["params"], x3, key)))
 
     def enc_loss(p, x, k):
         z, m, s = enc.apply({"params": p}, x, rngs={"sample": k})
         return jnp.sum(z) + jnp.sum(m * s)
 
     encg = jax.jit(jax.grad(enc_loss))
-    report("ConvEncoder fwd+bwd", timeit(encg, (enc_vars["params"], x3, key)))
+    report("ConvEncoder fwd+bwd", lambda: timeit(encg, (enc_vars["params"], x3, key)))
 
     dec = ConvDecoder(hw)
     z = jnp.asarray(rng.randn(batch, 256).astype(np.float32))
     dec_vars = dec.init(jax.random.PRNGKey(0), z)
     dec_f = jax.jit(lambda p, z: dec.apply({"params": p}, z)[0])
-    report("ConvDecoder fwd", timeit(dec_f, (dec_vars["params"], z)))
+    report("ConvDecoder fwd", lambda: timeit(dec_f, (dec_vars["params"], z)))
     decg = jax.jit(jax.grad(lambda p, z: jnp.sum(dec.apply({"params": p}, z)[0])))
-    report("ConvDecoder fwd+bwd", timeit(decg, (dec_vars["params"], z)))
+    report("ConvDecoder fwd+bwd", lambda: timeit(decg, (dec_vars["params"], z)))
 
     m = jnp.asarray(rng.randn(batch, 64, 64, 3).astype(np.float32))
     ls = jnp.asarray(rng.randn(batch, 64, 64, 3).astype(np.float32) * 0.3)
     dll = jax.jit(lambda x, m, ls: jnp.mean(
         jnp.sum(discretized_logistic_nll(x, m, ls), axis=(1, 2, 3))))
-    report("discretized-logistic NLL fwd", timeit(dll, (x3, m, ls)))
+    report("discretized-logistic NLL fwd", lambda: timeit(dll, (x3, m, ls)))
     dllg = jax.jit(jax.grad(lambda m, ls: jnp.mean(jnp.sum(
         discretized_logistic_nll(x3, m, ls), axis=(1, 2, 3))), argnums=(0, 1)))
-    report("discretized-logistic NLL grad", timeit(dllg, (m, ls)))
+    report("discretized-logistic NLL grad", lambda: timeit(dllg, (m, ls)))
 
 
 def main():

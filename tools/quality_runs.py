@@ -51,16 +51,15 @@ def run_spair(steps: int, batch: int, out_dir: str, model: str = "lg_spair",
 
 def run_gmvae(steps: int, batch: int, out_dir: str):
     from split_vae_tpu.core.config import VaeConfig
-    from split_vae_tpu.data import svhn
     from split_vae_tpu.train import loop
 
-    # Larger synthetic SVHN so the 30-way clustering has data to cluster.
-    _orig = svhn.synthetic_svhn
-    svhn.synthetic_svhn = functools.partial(_orig, n_train=8192, n_test=1024)
-
+    # Larger synthetic SVHN so the 30-way clustering has data to cluster
+    # (synthetic_size=8192 -> 1024 held-out test images; the cluster-accuracy
+    # linear assignment needs more samples than clusters to be meaningful).
     config = VaeConfig(
         model="lggmvae", dataset="svhn", beta=40.0, alpha=40.0, y_size=30,
         patch_size=4, batch_size=batch, synthetic_data=True,
+        synthetic_size=8192,
         training_steps=steps, eval_interval=2000, checkpoint_interval=10_000,
         output_dir=out_dir, log_every=500)
     state, run_dir = loop.train_vae(config)

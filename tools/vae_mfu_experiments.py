@@ -91,7 +91,7 @@ def main():
     model = LGVae(128, 128, hw)
     state = create_train_state(model, jnp.zeros((batch, 64, 64, 6)), optax.adam(1e-4))
     step = make_vae_train_step(config)
-    report("base train step", timeit(lambda s, b: step(s, b)[1]["total_loss"],
+    report("base train step", lambda: timeit(lambda s, b: step(s, b)[1]["total_loss"],
                                      (state, raw)), batch, LGVAE_TRAIN_FLOPS)
 
     # --- bf16 params + activations ---
@@ -103,7 +103,7 @@ def main():
         state.params))
     step16 = make_vae_train_step(config_bf16)
     try:
-        report("bf16 params+acts", timeit(
+        report("bf16 params+acts", lambda: timeit(
             lambda s, b: step16(s, b)[1]["total_loss"], (state, raw)),
             batch, LGVAE_TRAIN_FLOPS)
     except Exception as e:
@@ -115,7 +115,7 @@ def main():
     params = state.params
     fwd = jax.jit(lambda p, x, k: model.apply(
         {"params": p}, x, rngs={"sample": k}).x_mean)
-    report("forward only", timeit(fwd, (params, x6, key)), batch,
+    report("forward only", lambda: timeit(fwd, (params, x6, key)), batch,
            LGVAE_TRAIN_FLOPS / 3)
 
     # --- encoder / decoder halves (fwd+bwd) ---
@@ -126,14 +126,14 @@ def main():
     ev = enc.init({"params": jax.random.PRNGKey(0), "sample": key}, x3)
     encg = jax.jit(jax.grad(lambda p: jnp.sum(enc.apply(
         {"params": p}, x3, rngs={"sample": key})[0])))
-    report("encoder fwd+bwd (x1)", timeit(encg, (ev["params"],)), batch,
+    report("encoder fwd+bwd (x1)", lambda: timeit(encg, (ev["params"],)), batch,
            3 * 2 * 65.8e6)
 
     dec = ConvDecoder(hw)
     z = jnp.asarray(rng.randn(batch, 256).astype(np.float32))
     dv = dec.init(jax.random.PRNGKey(0), z)
     decg = jax.jit(jax.grad(lambda p: jnp.sum(dec.apply({"params": p}, z)[0])))
-    report("decoder fwd+bwd (x1)", timeit(decg, (dv["params"],)), batch,
+    report("decoder fwd+bwd (x1)", lambda: timeit(decg, (dv["params"],)), batch,
            3 * 2 * 312.5e6)
 
     # --- channel-padding probe: encoder with Cout x2 everywhere ---
@@ -149,7 +149,7 @@ def main():
     pe = PaddedEncoder()
     pv = pe.init(jax.random.PRNGKey(0), x3)
     peg = jax.jit(jax.grad(lambda p: jnp.sum(pe.apply({"params": p}, x3))))
-    report("padded-enc x2 fwd+bwd", timeit(peg, (pv["params"],)), batch)
+    report("padded-enc x2 fwd+bwd", lambda: timeit(peg, (pv["params"],)), batch)
 
 
 if __name__ == "__main__":
