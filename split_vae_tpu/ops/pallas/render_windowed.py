@@ -1,0 +1,408 @@
+"""Row-windowed fused paste+composite kernel (v3 of the fused render).
+
+Measured (BASELINE.md): the fused render is VPU-element-bound — per-cell
+compositing touches the full [C1*H, W] canvas although the architecture
+guarantees tiny objects: ``sx, sy = 0.5*sigmoid(...) < 0.5`` caps the pasted
+box at ``sy/2 < 0.25`` of the canvas (< 12 px of 48), so each cell's paste
+support spans <= ~14 rows. This kernel confines every per-cell computation to
+a fixed WINDOW_ROWS-row band (8-aligned, +-2-row interpolation margin) and
+handles the out-of-window contribution — where the paste is exactly zero, so
+``alpha = clip(0, 1e-8, 1) = 1e-8`` — in closed form:
+
+    s2 += window(imp_w - zp*wd*1e-8)            + sum_k zp_k*wd_k*1e-8
+    s3 += window(zp*alpha_w*imp_w - zp^2*wd*1e-16) + sum_k zp_k^2*wd_k*1e-16
+    s1 += window(imp_w * rgb_w)                 (+0: see noise note)
+
+Deviations from the full-canvas kernels (both labeled, both < 1e-8 relative):
+  - render noise is generated only inside the window; outside, the reference
+    adds ``clip(0 + N(0,0.01), 0, 1) * imp_out`` with ``imp_out ~ 1e-8`` — a
+    ~1e-10 random term dropped here.
+  - backward keeps the 1e-8-scale out-of-window terms for g_zp/g_wd via the
+    precomputed full-canvas sums of g_s2/g_s3, dropping only 1e-16 terms.
+
+Window selection runs in jnp from the paste sample coordinates; the windowed
+wy slice/scatter also stays in jnp autodiff, so the custom VJP core only
+handles the in-window math.
+
+STATUS — correct but NOT wired into the models, for two measured reasons:
+  1. Mosaic (jax 0.9.0) does not lower ``lax.dynamic_slice`` on loop-carried
+     VALUES inside a TC kernel; the accumulators would have to move to VMEM
+     scratch refs (which do support ``pl.ds``), trading their vector-register
+     residency for per-cell load/modify/store traffic — that traffic costs
+     about what the windowing saves (window is 40 of 48 rows: the paste
+     support is sy*(S-1) <= 23.5 rows, much larger than the display bbox,
+     which is HALF the paste extent — spair/utils.py:147-155 quirk).
+  2. The full-canvas kernel is VPU-element-bound with register-resident
+     accumulators; a ~17% element cut via scratch refs nets ~zero.
+Kept as an interpret-mode-validated reference (tests/test_render_windowed.py)
+documenting the exact out-of-window closed forms should a future Mosaic
+support value-level dynamic slicing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from split_vae_tpu.ops.pallas.render_fused import _normal_from_bits
+from split_vae_tpu.ops.pallas.render_packed import (
+    _blockdiag, _dot, _stack_img, _stack_objs, _sum_blocks, _tile_rows)
+
+Array = jax.Array
+
+_EPS = 1e-8
+WINDOW_ROWS = 40  # 5 sublane tiles: paste support is sy*(S-1) <= 23.5 rows
+# (sy = 0.5*sigmoid < 0.5; note the display bbox is HALF the paste extent —
+# a reference quirk) + 2-row interp margin + 8-row alignment slop.
+
+
+def compute_window_starts(ys: Array, h_canvas: int, h_obj: int) -> Array:
+    """8-aligned window start rows [B, K] from paste sample coords [B, K, H].
+
+    A canvas row p is in the paste support iff its object-space sample
+    coordinate lies in (-1, h_obj) (outside, both interp taps clip to the
+    same pixel and the weights cancel to zero).
+    """
+    valid = jnp.logical_and(ys > -1.0, ys < float(h_obj))  # [B, K, H]
+    first = jnp.argmax(valid, axis=-1)  # 0 when no valid row (empty paste)
+    start = ((first - 2) // 8) * 8
+    return jnp.clip(start, 0, h_canvas - WINDOW_ROWS).astype(jnp.int32)
+
+
+def _cell_win(objs_ref, wy_ref, wx_ref, k, c1):
+    obj_stack = objs_ref[0, k]              # [C1*h, w]
+    wx_t = wx_ref[0, k].T                   # [w, W]
+    tmp = _dot(obj_stack, wx_t)             # [C1*h, W]
+    wyb = _blockdiag(wy_ref[0, k], c1)      # [C1*WR, C1*h]
+    paste = _dot(wyb, tmp)                  # [C1*WR, W]
+    return tmp, paste
+
+
+def _win_activations(paste, zp, wd, c, noise_scale):
+    wr = WINDOW_ROWS
+    alpha = jnp.clip(paste[c * wr:(c + 1) * wr], _EPS, 1.0)
+    rgb = paste[: c * wr]
+    if noise_scale > 0.0:
+        rgb = rgb + noise_scale * _normal_from_bits(rgb.shape)
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+    imp = zp * alpha * wd
+    return rgb, alpha, imp
+
+
+def _fwd_kernel(seed_ref, zp_ref, wd_ref, starts_ref, objs_ref, wy_ref,
+                wx_ref, bg_ref, out_ref, *, num_channel: int, h_canvas: int,
+                noise_scale: float):
+    k_cells = objs_ref.shape[1]
+    c = num_channel
+    c1 = c + 1
+    wr = WINDOW_ROWS
+    hh = h_canvas
+    ww = wx_ref.shape[2]
+    bi = pl.program_id(0)
+    if noise_scale > 0.0:
+        pltpu.prng_seed(seed_ref[0] + bi)
+
+    s1 = jnp.zeros((c * hh, ww), jnp.float32)
+    s2 = jnp.zeros((hh, ww), jnp.float32)
+    s3 = jnp.zeros((hh, ww), jnp.float32)
+    c2_sum = 0.0
+    c3_sum = 0.0
+    for k in range(k_cells):
+        _, paste = _cell_win(objs_ref, wy_ref, wx_ref, k, c1)
+        zp = zp_ref[bi, k]
+        wd = wd_ref[bi, k]
+        st = starts_ref[bi, k]
+        rgb, alpha, imp = _win_activations(paste, zp, wd, c, noise_scale)
+        c2 = zp * wd * _EPS            # out-of-window imp (alpha == 1e-8)
+        c3 = zp * zp * wd * (_EPS * _EPS)
+        c2_sum = c2_sum + c2
+        c3_sum = c3_sum + c3
+        for ch in range(c):
+            row = ch * hh
+            s1 = jax.lax.dynamic_update_slice(
+                s1,
+                jax.lax.dynamic_slice(s1, (row + st, 0), (wr, ww))
+                + imp * rgb[ch * wr:(ch + 1) * wr],
+                (row + st, 0))
+        s2 = jax.lax.dynamic_update_slice(
+            s2, jax.lax.dynamic_slice(s2, (st, 0), (wr, ww)) + (imp - c2),
+            (st, 0))
+        s3 = jax.lax.dynamic_update_slice(
+            s3,
+            jax.lax.dynamic_slice(s3, (st, 0), (wr, ww))
+            + ((zp * alpha) * imp - c3),
+            (st, 0))
+
+    s2 = s2 + c2_sum
+    s3 = s3 + c3_sum
+    d = s2 + _EPS
+    ac = s3 / d
+    ac_t = _tile_rows(ac, c)
+    out_ref[0] = ac_t * (s1 / _tile_rows(d, c)) + (1.0 - ac_t) * bg_ref[0]
+
+
+def _bwd_kernel(seed_ref, zp_ref, wd_ref, starts_ref, objs_ref, wy_ref,
+                wx_ref, bg_ref, g_ref, g_objs_ref, g_wy_ref, g_wx_ref,
+                g_zp_ref, g_wd_ref, g_bg_ref, *, num_channel: int,
+                h_canvas: int, noise_scale: float):
+    k_cells = objs_ref.shape[1]
+    c = num_channel
+    c1 = c + 1
+    wr = WINDOW_ROWS
+    hh = h_canvas
+    ww = wx_ref.shape[2]
+    bi = pl.program_id(0)
+    if noise_scale > 0.0:
+        pltpu.prng_seed(seed_ref[0] + bi)
+
+    # Pass 1: recompute (identical PRNG stream) and rebuild the sums.
+    all_tmp = []
+    all_paste = []
+    all_rgb = []
+    s1 = jnp.zeros((c * hh, ww), jnp.float32)
+    s2 = jnp.zeros((hh, ww), jnp.float32)
+    s3 = jnp.zeros((hh, ww), jnp.float32)
+    c2_sum = 0.0
+    c3_sum = 0.0
+    for k in range(k_cells):
+        tmp, paste = _cell_win(objs_ref, wy_ref, wx_ref, k, c1)
+        zp = zp_ref[bi, k]
+        wd = wd_ref[bi, k]
+        st = starts_ref[bi, k]
+        rgb, alpha, imp = _win_activations(paste, zp, wd, c, noise_scale)
+        all_tmp.append(tmp)
+        all_paste.append(paste)
+        all_rgb.append(rgb)
+        c2 = zp * wd * _EPS
+        c3 = zp * zp * wd * (_EPS * _EPS)
+        c2_sum = c2_sum + c2
+        c3_sum = c3_sum + c3
+        for ch in range(c):
+            row = ch * hh
+            s1 = jax.lax.dynamic_update_slice(
+                s1,
+                jax.lax.dynamic_slice(s1, (row + st, 0), (wr, ww))
+                + imp * rgb[ch * wr:(ch + 1) * wr],
+                (row + st, 0))
+        s2 = jax.lax.dynamic_update_slice(
+            s2, jax.lax.dynamic_slice(s2, (st, 0), (wr, ww)) + (imp - c2),
+            (st, 0))
+        s3 = jax.lax.dynamic_update_slice(
+            s3,
+            jax.lax.dynamic_slice(s3, (st, 0), (wr, ww))
+            + ((zp * alpha) * imp - c3),
+            (st, 0))
+    s2 = s2 + c2_sum
+    s3 = s3 + c3_sum
+
+    d = s2 + _EPS
+    inv_d = 1.0 / d
+    inv_d2 = inv_d * inv_d
+    g = g_ref[0]
+    g_s1 = g * _tile_rows(s3 * inv_d2, c)
+    t = g * (s1 * _tile_rows(inv_d2, c) - bg_ref[0] * _tile_rows(inv_d, c))
+    g_s3 = _sum_blocks(t, c, hh)
+    t2 = g * (-2.0 * s1 * _tile_rows(s3 * inv_d2 * inv_d, c)
+              + bg_ref[0] * _tile_rows(s3 * inv_d2, c))
+    g_s2 = _sum_blocks(t2, c, hh)
+    g_bg_ref[0] = g * (1.0 - _tile_rows(s3 * inv_d, c))
+    # Full-canvas sums for the out-of-window 1e-8 gradient terms.
+    g_s2_full = jnp.sum(g_s2)
+    g_s3_full = jnp.sum(g_s3)
+
+    g_zp_vals = []
+    g_wd_vals = []
+    for k in range(k_cells):
+        tmp = all_tmp[k]
+        paste = all_paste[k]
+        rgb = all_rgb[k]
+        alpha_raw = paste[c * wr:(c + 1) * wr]
+        alpha = jnp.clip(alpha_raw, _EPS, 1.0)
+        zp = zp_ref[bi, k]
+        wd = wd_ref[bi, k]
+        st = starts_ref[bi, k]
+        imp = zp * alpha * wd
+        transp = zp * alpha
+
+        g_s2_w = jax.lax.dynamic_slice(g_s2, (st, 0), (wr, ww))
+        g_s3_w = jax.lax.dynamic_slice(g_s3, (st, 0), (wr, ww))
+        g_s1_w = jnp.concatenate(
+            [jax.lax.dynamic_slice(g_s1, (ch * hh + st, 0), (wr, ww))
+             for ch in range(c)], axis=0)  # [C*WR, W]
+
+        g_imp = g_s2_w + g_s3_w * transp + _sum_blocks(g_s1_w * rgb, c, wr)
+        g_transp = g_s3_w * imp
+
+        alpha_mask = jnp.logical_and(alpha_raw > _EPS, alpha_raw < 1.0)
+        g_alpha = (g_imp * (zp * wd) + g_transp * zp) * alpha_mask.astype(
+            jnp.float32)
+
+        # In-window exact terms + 1e-8-scale out-of-window closed forms
+        # (alpha == 1e-8 there; 1e-16 cross terms dropped).
+        g_s2_win_sum = jnp.sum(g_s2_w)
+        g_s3_win_sum = jnp.sum(g_s3_w)
+        out_g_s2 = g_s2_full - g_s2_win_sum
+        out_g_s3 = g_s3_full - g_s3_win_sum
+        g_zp_vals.append(
+            jnp.sum(g_imp * alpha * wd + g_transp * alpha)
+            + _EPS * (wd * out_g_s2 + 2.0 * zp * wd * _EPS * out_g_s3))
+        g_wd_vals.append(
+            jnp.sum(g_imp * zp * alpha)
+            + _EPS * zp * out_g_s2 + (_EPS * _EPS) * zp * zp * out_g_s3)
+
+        rgb_mask = jnp.logical_and(rgb > 0.0, rgb < 1.0).astype(jnp.float32)
+        g_paste = jnp.concatenate(
+            [g_s1_w * _tile_rows(imp, c) * rgb_mask, g_alpha], axis=0)
+
+        wy_k = wy_ref[0, k]                       # [WR, h]
+        wx_k = wx_ref[0, k]                       # [W, w]
+        wyb_t = _blockdiag(wy_k.T, c1)            # [C1*h, C1*WR]
+        g_tmp = _dot(wyb_t, g_paste)              # [C1*h, W]
+        g_objs_ref[0, k] = _dot(g_tmp, wx_k)      # [C1*h, w]
+        wyb = _blockdiag(wy_k, c1)
+        u = _dot(wyb, objs_ref[0, k])             # [C1*WR, w]
+        g_wx_ref[0, k] = _dot(g_paste.T, u)       # [W, w]
+        g_wyb = _dot(g_paste, tmp.T)              # [C1*WR, C1*h]
+        h_obj = wy_k.shape[1]
+        g_wy_acc = g_wyb[:wr, :h_obj]
+        for ch in range(1, c1):
+            g_wy_acc = g_wy_acc + g_wyb[
+                ch * wr:(ch + 1) * wr, ch * h_obj:(ch + 1) * h_obj]
+        g_wy_ref[0, k] = g_wy_acc
+
+    g_zp_ref[0] = jnp.stack(g_zp_vals).reshape(k_cells, 1)
+    g_wd_ref[0] = jnp.stack(g_wd_vals).reshape(k_cells, 1)
+
+
+def _specs(k, h, w, hh, ww, c1, c):
+    vmem = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda i: (i,) + (0,) * len(shape), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # zp [B, K]
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # wd [B, K]
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # starts [B, K]
+        vmem((k, c1 * h, w)),       # objs (channel-sublane-stacked)
+        vmem((k, WINDOW_ROWS, h)),  # windowed wy
+        vmem((k, ww, w)),           # wx
+        vmem((c * hh, ww)),         # bg (channel-sublane-stacked)
+    ]
+    return in_specs, vmem
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _windowed_core(objs, wy_w, wx, z_pres, depth_w, bg, starts, seed,
+                   noise_scale, interpret=False):
+    return _forward(objs, wy_w, wx, z_pres, depth_w, bg, starts, seed,
+                    noise_scale, interpret)
+
+
+def _forward(objs, wy_w, wx, z_pres, depth_w, bg, starts, seed, noise_scale,
+             interpret):
+    b, k, h, w, c1 = objs.shape
+    hh = bg.shape[1]
+    ww = wx.shape[2]
+    c = c1 - 1
+    in_specs, vmem = _specs(k, h, w, hh, ww, c1, c)
+    kernel = functools.partial(_fwd_kernel, num_channel=c, h_canvas=hh,
+                               noise_scale=float(noise_scale))
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=vmem((c * hh, ww)),
+        out_shape=jax.ShapeDtypeStruct((b, c * hh, ww), jnp.float32),
+        interpret=interpret,
+    )(jnp.reshape(jnp.asarray(seed, jnp.int32), (1,)), z_pres, depth_w,
+      starts, _stack_objs(objs), wy_w, wx, _stack_img(bg))
+    return out.reshape(b, c, hh, ww).transpose(0, 2, 3, 1)
+
+
+def _fwd_rule(objs, wy_w, wx, z_pres, depth_w, bg, starts, seed, noise_scale,
+              interpret):
+    out = _forward(objs, wy_w, wx, z_pres, depth_w, bg, starts, seed,
+                   noise_scale, interpret)
+    return out, (objs, wy_w, wx, z_pres, depth_w, bg, starts, seed)
+
+
+def _bwd_rule(noise_scale, interpret, residuals, g):
+    objs, wy_w, wx, z_pres, depth_w, bg, starts, seed = residuals
+    b, k, h, w, c1 = objs.shape
+    hh = bg.shape[1]
+    ww = wx.shape[2]
+    c = c1 - 1
+    in_specs, vmem = _specs(k, h, w, hh, ww, c1, c)
+    in_specs = in_specs + [vmem((c * hh, ww))]
+    kernel = functools.partial(_bwd_kernel, num_channel=c, h_canvas=hh,
+                               noise_scale=float(noise_scale))
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, k, c1 * h, w), jnp.float32),
+        jax.ShapeDtypeStruct(wy_w.shape, jnp.float32),
+        jax.ShapeDtypeStruct(wx.shape, jnp.float32),
+        jax.ShapeDtypeStruct(z_pres.shape + (1,), jnp.float32),
+        jax.ShapeDtypeStruct(depth_w.shape + (1,), jnp.float32),
+        jax.ShapeDtypeStruct((b, c * hh, ww), jnp.float32),
+    )
+    out_specs = (
+        vmem((k, c1 * h, w)),
+        vmem((k, WINDOW_ROWS, h)),
+        vmem((k, ww, w)),
+        vmem((k, 1)),
+        vmem((k, 1)),
+        vmem((c * hh, ww)),
+    )
+    grads = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(jnp.reshape(jnp.asarray(seed, jnp.int32), (1,)), z_pres, depth_w,
+      starts, _stack_objs(objs), wy_w, wx, _stack_img(bg),
+      _stack_img(g.astype(jnp.float32)))
+    g_objs, g_wy_w, g_wx, g_zp, g_wd, g_bg = grads
+    g_objs = g_objs.reshape(b, k, c1, h, w).transpose(0, 1, 3, 4, 2)
+    g_bg = g_bg.reshape(b, c, hh, ww).transpose(0, 2, 3, 1)
+    g_starts = np.zeros(starts.shape, jax.dtypes.float0)
+    g_seed = np.zeros(np.shape(seed), jax.dtypes.float0)
+    return (g_objs, g_wy_w, g_wx, g_zp[..., 0], g_wd[..., 0], g_bg,
+            g_starts, g_seed)
+
+
+_windowed_core.defvjp(_fwd_rule, _bwd_rule)
+
+
+def _slice_rows(full, starts):
+    """vmapped [B,K,H,h] -> [B,K,WINDOW_ROWS,h] at per-(b,k) row starts."""
+    def one(mat, st):
+        return jax.lax.dynamic_slice(
+            mat, (st, 0), (WINDOW_ROWS, mat.shape[1]))
+    return jax.vmap(jax.vmap(one))(full, starts)
+
+
+def fused_paste_render_windowed(objs, wy, wx, z_pres, depth_w, bg, seed, ys,
+                                noise_scale, interpret=False):
+    """Drop-in fused paste+composite with row windowing.
+
+    Same contract as fused_paste_render plus ``ys`` [B,K,H]: the paste sample
+    coordinates (from ops.stn), used to locate each cell's support window.
+    The wy slice stays in jnp autodiff so g_wy scatters back to the full
+    matrix (out-of-window wy rows have exactly-cancelling weight gradients).
+    """
+    hh = bg.shape[1]
+    h_obj = objs.shape[2]
+    starts = compute_window_starts(ys, hh, h_obj)
+    wy_w = _slice_rows(wy, starts)
+    return _windowed_core(objs, wy_w, wx, z_pres, depth_w, bg, starts, seed,
+                          noise_scale, interpret)
+
+
+def windowing_supported(object_size: int, image_hw) -> bool:
+    return (object_size % 8 == 0 and image_hw[0] % 8 == 0
+            and image_hw[0] > WINDOW_ROWS)

@@ -194,6 +194,25 @@ def paste_interp_weights(
     return wy, wx, bbox
 
 
+def paste_interp_weights_ys(z_where, out_hw, in_hw,
+                            cell_ratio=DEFAULT_CELL_RATIO, eps: float = 1e-5):
+    """paste_interp_weights + the row sample coords ys [B,K,H] (used by the
+    windowed render kernel to locate each cell's paste support)."""
+    h_in, w_in = in_hw
+    ho, wo = out_hw
+    sx, sy, tx, ty = zwhere_to_params(z_where, cell_ratio)
+    bbox = zwhere_to_bbox(sx, sy, tx, ty)
+    sx_i = 1.0 / (sx + eps)
+    sy_i = 1.0 / (sy + eps)
+    tx_i = -tx / (sx + eps)
+    ty_i = -ty / (sy + eps)
+    xs = _sample_coords(sx_i, tx_i, wo, w_in)
+    ys = _sample_coords(sy_i, ty_i, ho, h_in)
+    wx = _interp_matrix(xs, w_in)
+    wy = _interp_matrix(ys, h_in)
+    return wy, wx, bbox, ys
+
+
 def stn_paste(
     objs: Array,
     z_where: Array,
