@@ -51,6 +51,12 @@ def timeit(fn, args, n=30, warmup_s=120):
 
 
 def report(name, ms, batch, flops_per_img=None):
+    if callable(ms):
+        try:
+            ms = ms()
+        except Exception as e:  # tunnel flake -> skip line, keep going
+            print(f"{name:28s}   FAILED: {type(e).__name__}", flush=True)
+            return
     rate = batch / ms * 1000.0
     extra = ""
     if flops_per_img:
