@@ -66,6 +66,25 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return best
 
 
+_APPLY_IF_FINITE_KEYS = frozenset(
+    {"notfinite_count", "last_finite", "total_notfinite", "inner_state"})
+
+
+def _migrate_opt_state(raw):
+    """Map pre-round-2 ``optax.ApplyIfFiniteState`` serializations onto the
+    current ``SkipNonFiniteState`` layout (same ``total_notfinite`` /
+    ``inner_state`` fields, minus the give-up bookkeeping) so checkpoints
+    written before the nan_robust switch keep restoring."""
+    if isinstance(raw, dict):
+        if set(raw.keys()) == _APPLY_IF_FINITE_KEYS:
+            return {
+                "total_notfinite": raw["total_notfinite"],
+                "inner_state": _migrate_opt_state(raw["inner_state"]),
+            }
+        return {k: _migrate_opt_state(v) for k, v in raw.items()}
+    return raw
+
+
 def restore_checkpoint(path: str, state: TrainState) -> TrainState:
     """Restore into a template state (shapes/treedef must match)."""
     if os.path.isdir(path):
@@ -75,6 +94,7 @@ def restore_checkpoint(path: str, state: TrainState) -> TrainState:
         path = found
     with open(path, "rb") as f:
         raw = flax.serialization.msgpack_restore(f.read())
+    raw = _migrate_opt_state(raw)
     target = {
         "step": state.step,
         "params": state.params,

@@ -177,20 +177,7 @@ def paste_interp_weights(
     fused Pallas paste+render kernel while keeping the z_where -> weights chain
     in jnp autodiff.
     """
-    h_in, w_in = in_hw
-    ho, wo = out_hw
-    sx, sy, tx, ty = zwhere_to_params(z_where, cell_ratio)
-    bbox = zwhere_to_bbox(sx, sy, tx, ty)
-
-    sx_i = 1.0 / (sx + eps)
-    sy_i = 1.0 / (sy + eps)
-    tx_i = -tx / (sx + eps)
-    ty_i = -ty / (sy + eps)
-
-    xs = _sample_coords(sx_i, tx_i, wo, w_in)
-    ys = _sample_coords(sy_i, ty_i, ho, h_in)
-    wx = _interp_matrix(xs, w_in)
-    wy = _interp_matrix(ys, h_in)
+    wy, wx, bbox, _ = paste_interp_weights_ys(z_where, out_hw, in_hw, cell_ratio, eps)
     return wy, wx, bbox
 
 

@@ -49,6 +49,24 @@ def normalize_images(batch: Array, mode: str) -> Array:
     return batch.astype(jnp.float32)
 
 
+def _check_activation_dtype(config) -> None:
+    """Fail fast if the process-global activation dtype (nn/common.py) drifted
+    from config.compute_dtype — a step traced before set_activation_dtype ran
+    would otherwise silently bake the wrong dtype into every Dense/Conv."""
+    from split_vae_tpu.nn import common
+
+    want = jnp.bfloat16 if getattr(
+        config, "compute_dtype", "float32") == "bfloat16" else jnp.float32
+    have = common.activation_dtype()
+    if have != want:
+        raise ValueError(
+            f"activation dtype mismatch: config.compute_dtype asks for "
+            f"{want.__name__} but nn.common.set_activation_dtype left the "
+            f"process global at {have.__name__}; call "
+            f"set_activation_dtype(config.compute_dtype) before building "
+            f"models or train steps")
+
+
 def matmul_precision(config):
     """Precision context from config.compute_dtype.
 
@@ -77,6 +95,7 @@ def _vae_loss_fn(model_kind: str, config):
 
 def make_vae_train_step(config) -> Callable:
     """Returns jitted (state, raw_batch_u8) -> (state, metrics)."""
+    _check_activation_dtype(config)
     loss_of = _vae_loss_fn(config.model, config)
 
     @functools.partial(jax.jit, donate_argnums=0)
@@ -133,6 +152,7 @@ def make_spair_train_step(config) -> Callable:
     Callers that need outputs for visualization run the eval step on the same
     batch at eval cadence.
     """
+    _check_activation_dtype(config)
     augmented = config.model == "lg_spair"
 
     @functools.partial(jax.jit, donate_argnums=0)

@@ -30,11 +30,13 @@ def bf16_mode():
     set_activation_dtype("float32")
 
 
-def _spair_loss_one_step(batch_size=8):
+def _spair_loss_one_step(batch_size=8, dtype="float32"):
+    set_activation_dtype(dtype)
     cfg = SpairConfig(
         model="lg_spair", batch_size=batch_size, latent_size=16,
         bg_latent_size=8, local_latent_size=8, patch_size=8, split_z_l=True,
-        concat_z_what=True, dense_bg=True, dense_local=True)
+        concat_z_what=True, dense_bg=True, dense_local=True,
+        compute_dtype=dtype)
     cfg.image_size = (48, 48, 3)
     model = get_spair_model(cfg)
     tx = optim.nan_robust(optax.chain(
@@ -50,10 +52,8 @@ def _spair_loss_one_step(batch_size=8):
 
 
 def test_spair_bf16_step_close_to_f32(bf16_mode):
-    set_activation_dtype("float32")
-    loss_f32, _ = _spair_loss_one_step()
-    set_activation_dtype("bfloat16")
-    loss_bf16, state = _spair_loss_one_step()
+    loss_f32, _ = _spair_loss_one_step(dtype="float32")
+    loss_bf16, state = _spair_loss_one_step(dtype="bfloat16")
     assert np.isfinite(loss_bf16)
     # params remain f32 master copies
     assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(state.params))
@@ -66,7 +66,7 @@ def test_vae_bf16_step_close_to_f32(bf16_mode):
         model = LGVae(8, 8, (64, 64))
         cfg = VaeConfig(model="lgvae", batch_size=8, patch_size=2, beta=1.0,
                         global_latent_dims=8, local_latent_dims=8,
-                        no_label=True)
+                        no_label=True, compute_dtype=dtype)
         state = create_train_state(model, jnp.zeros((8, 64, 64, 6)),
                                    optim.nan_robust(optax.adam(1e-4)), seed=0)
         step = make_vae_train_step(cfg)

@@ -101,6 +101,30 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_migrates_apply_if_finite_opt_state(tmp_path):
+    """Checkpoints written before the nan_robust switch (round 2) serialized
+    ``optax.ApplyIfFiniteState``; restore must map them onto the current
+    ``SkipNonFiniteState`` layout instead of failing the treedef match."""
+    from split_vae_tpu.models.vae import LGVae
+    from split_vae_tpu.train import optim
+
+    model = LGVae(4, 4, (16, 16))
+    inner = optax.chain(optim.clip_by_per_tensor_norm(1.0), optim.adam(1e-3))
+    old_state = create_train_state(
+        model, jnp.zeros((2, 16, 16, 6)), optax.apply_if_finite(inner, 20))
+    old_state = old_state.replace(step=jnp.asarray(7, jnp.int32))
+    ckpt.save_checkpoint(str(tmp_path), old_state)
+
+    fresh = create_train_state(
+        model, jnp.zeros((2, 16, 16, 6)), optim.nan_robust(inner), seed=9)
+    restored = ckpt.restore_checkpoint(str(tmp_path), fresh)
+    assert int(restored.step) == 7
+    assert int(restored.opt_state.total_notfinite) == 0
+    for a, b in zip(jax.tree.leaves(old_state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_mean_metrics_and_accuracy():
     mm = MeanMetrics()
     mm.update({"a": jnp.asarray(1.0)})

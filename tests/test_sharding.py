@@ -89,7 +89,13 @@ def test_opt_state_sharding_is_structural():
         # ambiguous here, structural mapping is not
         "head": {"dense": {"kernel": jnp.zeros((4, 4)), "bias": jnp.zeros((4,))}},
     }
-    tx = optax.adam(1e-3)
+    # Use the PRODUCTION wrapping (nan_robust around clip+adam), not bare
+    # adam: the SkipNonFiniteState wrapper plus the stateless clip must not
+    # confuse the structural treedef mapping (advisor round-2 finding).
+    from split_vae_tpu.train import optim
+
+    tx = optim.nan_robust(optax.chain(
+        optim.clip_by_per_tensor_norm(1.0), optax.adam(1e-3)))
 
     class FakeState:
         pass
@@ -104,14 +110,16 @@ def test_opt_state_sharding_is_structural():
     state.replace = lambda **kw: kw
     placed = shard_state(state, mesh)
 
-    adam_state = placed["opt_state"][0]  # ScaleByAdamState(count, mu, nu)
+    skip_state = placed["opt_state"]  # SkipNonFiniteState
+    adam_state = skip_state.inner_state[1][0]  # chain -> (clip, adam)
     for moment in (adam_state.mu, adam_state.nu):
         assert moment["dense"]["kernel"].sharding.spec == P(None, "model")
         assert moment["dense"]["bias"].sharding.spec == P()
         assert moment["head"]["dense"]["kernel"].sharding.spec == P()
     assert placed["params"]["dense"]["kernel"].sharding.spec == P(None, "model")
-    # scalar bookkeeping (count) stays replicated
+    # scalar bookkeeping stays replicated
     assert adam_state.count.sharding.spec == P()
+    assert skip_state.total_notfinite.sharding.spec == P()
 
 
 def test_per_host_data_sharding_disjoint():
