@@ -124,6 +124,10 @@ class SpairConfig(BaseConfig):
     # disable). Interpret-mode on CPU.
     fused_render: bool = True
     no_fused_render: bool = False
+    # Debug-only (no CLI flag): run the fused render in Pallas interpret mode
+    # off-TPU so CPU sharding tests / the driver dryrun exercise the exact
+    # shard_map-wrapped fused path the TPU program uses.
+    interpret_fused: bool = False
 
     # derived (spair/main.py:72-73): [H, W, C]
     image_size: Tuple[int, int, int] = (48, 48, 3)

@@ -158,7 +158,9 @@ def device_prefetch(iterator: Iterator, size: int = 2, sharding=None) -> Iterato
     def put(batch):
         if sharding is None:
             return jax.tree.map(jax.device_put, batch)
-        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+        from split_vae_tpu.parallel.mesh import put_global_batch
+
+        return put_global_batch(batch, sharding)
 
     queue = collections.deque()
     for batch in iterator:

@@ -87,6 +87,7 @@ class SPAIR(nn.Module):
     bg_latent_size: int = 4
     fused_render: bool = False  # Pallas fused paste+composite on the train path
     use_pallas: bool = False  # backend compiles Pallas kernels (set by factory)
+    interpret_fused: bool = False  # debug: fused path via interpret mode off-TPU
 
     def setup(self):
         self.encoder = SpairEncoder(self.object_size, self.latent_size, self.tau,
@@ -103,7 +104,7 @@ class SPAIR(nn.Module):
             # Static default from module flags (plumbed by get_spair_model
             # from the resolved session backend): fused Pallas only where the
             # backend compiles it; callers can still force fused= explicitly.
-            fused = self.fused_render and self.use_pallas
+            fused = self.fused_render and (self.use_pallas or self.interpret_fused)
         enc = self.encoder(inputs)
         (z_what, z_what_mean, z_what_sigma, z_where, z_where_mean, z_where_sigma,
          z_depth, z_depth_mean, z_depth_sigma, z_pres, z_pres_logits,
@@ -154,6 +155,7 @@ class LGSPAIR(nn.Module):
     concat_z_bg: bool = False
     fused_render: bool = False
     use_pallas: bool = False
+    interpret_fused: bool = False  # debug: fused path via interpret mode off-TPU
 
     def setup(self):
         self.encoder = SpairEncoder(
@@ -182,7 +184,7 @@ class LGSPAIR(nn.Module):
             # Static default from module flags (plumbed by get_spair_model
             # from the resolved session backend): fused Pallas only where the
             # backend compiles it; callers can still force fused= explicitly.
-            fused = self.fused_render and self.use_pallas
+            fused = self.fused_render and (self.use_pallas or self.interpret_fused)
         x, x_hat = inputs[..., :3], inputs[..., 3:]
 
         z_l, z_l_mean, z_l_sig = self.x_hat_encoder(x_hat)
@@ -250,6 +252,7 @@ class LGGlimpseSPAIR(nn.Module):
     dense_bg: bool = False
     fused_render: bool = False
     use_pallas: bool = False
+    interpret_fused: bool = False  # debug: fused path via interpret mode off-TPU
 
     def setup(self):
         from split_vae_tpu.nn.spair_nets import GlimpseDecoder
@@ -275,7 +278,7 @@ class LGGlimpseSPAIR(nn.Module):
             # Static default from module flags (plumbed by get_spair_model
             # from the resolved session backend): fused Pallas only where the
             # backend compiles it; callers can still force fused= explicitly.
-            fused = self.fused_render and self.use_pallas
+            fused = self.fused_render and (self.use_pallas or self.interpret_fused)
         x = inputs[..., : self.num_channel]
         z_bg, z_bg_mean, z_bg_sig = self.bg_encoder(x)
         enc = self.encoder(x)
@@ -340,6 +343,7 @@ def get_spair_model(config) -> nn.Module:
             concat_z_bg=config.concat_z_bg,
             fused_render=config.fused_render,
             use_pallas=use_pallas,
+            interpret_fused=getattr(config, "interpret_fused", False),
         )
     if config.model == "lg_glimpse_spair":
         return LGGlimpseSPAIR(
@@ -354,6 +358,7 @@ def get_spair_model(config) -> nn.Module:
             dense_bg=config.dense_bg,
             fused_render=config.fused_render,
             use_pallas=use_pallas,
+            interpret_fused=getattr(config, "interpret_fused", False),
         )
     if config.model in ("spair", "bg_spair"):
         return SPAIR(
@@ -366,5 +371,6 @@ def get_spair_model(config) -> nn.Module:
             bg_latent_size=config.bg_latent_size,
             fused_render=config.fused_render,
             use_pallas=use_pallas,
+            interpret_fused=getattr(config, "interpret_fused", False),
         )
     raise NotImplementedError(f"Model type not implemented: {config.model}")

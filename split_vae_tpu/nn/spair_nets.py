@@ -443,8 +443,51 @@ def fused_decode_render(decoder, rng_key, z_what, z_where, z_depth, z_pres,
     render_fn = (fused_paste_render_packed
                  if packing_supported(concat.shape[2], image_hw)
                  else fused_paste_render)
-    x_recon = render_fn(concat, wy, wx, zp, wd, bg_img, seed, noise, interpret)
+    x_recon = _call_render_spmd(render_fn, concat, wy, wx, zp, wd, bg_img,
+                                seed, noise, interpret)
     return obj_ru, obj_ra, bbox, x_recon
+
+
+def _call_render_spmd(render_fn, concat, wy, wx, zp, wd, bg_img, seed, noise,
+                      interpret):
+    """Invoke a fused render kernel, shard_mapped over the data axis when a
+    multi-device mesh is ambient.
+
+    ``pallas_call`` is an opaque custom call XLA's SPMD partitioner cannot
+    split over a batch-sharded input, so under a >1-wide 'data' axis we enter
+    manual mode per shard (the batch axis is embarrassingly parallel — the
+    kernel's grid is (B,)). Seed semantics match the single-device program
+    exactly: the kernel seeds its PRNG with ``seed + program_id``, so shard j
+    (local batch b/n) seeds with ``seed + j*(b/n) + i`` = seed + global batch
+    index.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from split_vae_tpu.parallel.mesh import (
+        DATA_AXIS, ambient_data_axis_size, ambient_mesh)
+
+    b = concat.shape[0]
+    n_data = ambient_data_axis_size()
+    if n_data <= 1 or b % n_data != 0:
+        return render_fn(concat, wy, wx, zp, wd, bg_img, seed, noise, interpret)
+    local_b = b // n_data
+
+    def per_shard(concat, wy, wx, zp, wd, bg_img, seed):
+        shard_seed = seed + jax.lax.axis_index(DATA_AXIS) * local_b
+        return render_fn(concat, wy, wx, zp, wd, bg_img, shard_seed, noise,
+                         interpret)
+
+    # check_vma=False: pallas_call's ShapeDtypeStruct out_shape carries no
+    # varying-mesh-axes annotation (jax 0.9), which the vma checker rejects.
+    # The partitioning is trivially correct here — every operand and the
+    # output are batch-split along 'data' and the kernel is per-image.
+    return jax.shard_map(
+        per_shard,
+        mesh=ambient_mesh(),
+        in_specs=(P(DATA_AXIS),) * 6 + (P(),),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )(concat, wy, wx, zp, wd, bg_img, seed)
 
 
 def render(

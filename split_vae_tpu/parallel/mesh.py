@@ -27,6 +27,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
+_distributed_initialized = False
+
 
 def maybe_initialize_distributed(coordinator: Optional[str] = None,
                                  num_processes: Optional[int] = None,
@@ -40,9 +42,17 @@ def maybe_initialize_distributed(coordinator: Optional[str] = None,
     num_processes in (None, 0, 1)). The request check is pure Python and runs
     FIRST: querying jax.process_count() would itself initialize the local
     backend, which must not happen before jax.distributed.initialize.
+
+    A genuine init failure (unreachable coordinator, port clash, bad
+    process_id) PROPAGATES — only the already-initialized condition is
+    swallowed, so a misconfigured pod job fails loudly instead of silently
+    proceeding single-process.
     """
+    global _distributed_initialized
     if coordinator is None and (num_processes or 1) <= 1:
         return  # nothing requested multi-process; don't touch backends
+    if _distributed_initialized:
+        return
     try:
         if coordinator is not None:
             jax.distributed.initialize(
@@ -53,8 +63,10 @@ def maybe_initialize_distributed(coordinator: Optional[str] = None,
         elif (num_processes or 1) > 1:
             # TPU pod: the runtime env supplies coordinator/process info.
             jax.distributed.initialize()
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        if "already initialized" not in str(e).lower():
+            raise
+    _distributed_initialized = True
 
 
 def create_mesh(num_data: int = 0, num_model: int = 1, devices=None) -> Mesh:
@@ -65,6 +77,40 @@ def create_mesh(num_data: int = 0, num_model: int = 1, devices=None) -> Mesh:
     use = num_data * num_model
     grid = np.asarray(devices[:use]).reshape(num_data, num_model)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def activate_mesh(mesh: Mesh) -> Mesh:
+    """Install ``mesh`` as JAX's ambient mesh for this thread.
+
+    Opaque custom calls (the fused Pallas renderer) cannot be partitioned by
+    XLA's SPMD pass; their wrappers instead read the ambient mesh at TRACE
+    time (``ambient_data_axis_size``) and shard_map themselves over the batch
+    axis. Train loops call this right after ``create_mesh`` so every jitted
+    step traced afterwards sees the session's mesh — no mutable framework
+    global, just JAX's own thread-local mesh context.
+    """
+    jax.sharding.set_mesh(mesh)
+    return mesh
+
+
+def ambient_data_axis_size() -> int:
+    """Size of the ambient mesh's 'data' axis (1 when no mesh is active).
+
+    Safe to call at trace time inside jit: the abstract mesh is part of the
+    trace context, so the branch taken is baked into the compiled program.
+    """
+    am = jax.sharding.get_abstract_mesh()
+    if am is None:
+        return 1
+    return dict(am.shape).get(DATA_AXIS, 1)
+
+
+def ambient_mesh():
+    """The ambient (abstract) mesh, or None when none is active/empty."""
+    am = jax.sharding.get_abstract_mesh()
+    if am is None or not am.shape:
+        return None
+    return am
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -79,6 +125,23 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch):
     """Place a host batch onto the mesh, split along the leading dim."""
     sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def put_global_batch(batch, sharding: NamedSharding):
+    """Place a host batch on a (possibly multi-process) sharding.
+
+    Single-process: plain ``device_put``. Multi-process: each host holds only
+    ITS slice of the global batch (the loader's per-host disjoint shard), so
+    the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — host k's rows land on host
+    k's devices, and the global (leading) dim is ``local rows x num hosts``.
+    """
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)),
+            batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
@@ -117,17 +180,33 @@ def shard_state(state, mesh: Mesh):
     bookkeeping leaves (step counts, schedule states) are replicated.
     """
     param_shardings = infer_param_sharding(state.params, mesh)
-    params = jax.tree.map(jax.device_put, state.params, param_shardings)
-
     repl = NamedSharding(mesh, P())
-    opt_state = optax.tree_map_params(
+    opt_shardings = optax.tree_map_params(
         state.tx,
-        lambda leaf, sharding: jax.device_put(leaf, sharding),
+        lambda leaf, sharding: sharding,
         state.opt_state,
         param_shardings,
-        transform_non_params=lambda leaf: jax.device_put(leaf, repl),
+        transform_non_params=lambda leaf: repl,
     )
 
+    if jax.process_count() > 1:
+        # Multi-process: device_put cannot target non-addressable devices.
+        # Every process holds the SAME host state (same init seed), so a jit
+        # identity with out_shardings assembles the global arrays — the SPMD
+        # runtime scatters each process's replica onto its own devices.
+        shardings = state.replace(
+            params=param_shardings,
+            opt_state=opt_shardings,
+            rng=repl,
+            step=repl,
+            batch_stats=(
+                jax.tree.map(lambda _: repl, state.batch_stats)
+                if state.batch_stats is not None else None),
+        )
+        return jax.jit(lambda s: s, out_shardings=shardings)(state)
+
+    params = jax.tree.map(jax.device_put, state.params, param_shardings)
+    opt_state = jax.tree.map(jax.device_put, state.opt_state, opt_shardings)
     rng = jax.device_put(state.rng, repl)
     step = jax.device_put(state.step, repl)
     batch_stats = (

@@ -33,7 +33,8 @@ from split_vae_tpu.data.multicub import get_multicub
 from split_vae_tpu.models.spair import LGSPAIR, LGGlimpseSPAIR, get_spair_model
 from split_vae_tpu.models.vae import GMVae, LGGMVae, LGVae
 from split_vae_tpu.ops.patches import augmented_channels
-from split_vae_tpu.parallel.mesh import batch_sharding, create_mesh, shard_state
+from split_vae_tpu.parallel.mesh import (
+    activate_mesh, batch_sharding, create_mesh, shard_state)
 from split_vae_tpu.train import optim
 from split_vae_tpu.train import probes as probes_mod
 from split_vae_tpu.train import schedules
@@ -70,6 +71,20 @@ def _train_iterator(train_ds, config, sharding):
     bulk host->device data at ~50 MB/s, which transfer-bound the loop 12x),
     else host streaming with double-buffered prefetch. `-host_data` forces
     the streaming path."""
+    pc = jax.process_count()
+    if pc > 1:
+        # Pod path: config.batch_size is the GLOBAL batch; each host streams
+        # its disjoint 1/pc slice and the prefetcher assembles global arrays
+        # (make_array_from_process_local_data). The device-resident gather is
+        # single-process-only (its HBM copy + take() are per-host local).
+        if config.batch_size % pc:
+            raise ValueError(
+                f"batch_size {config.batch_size} must divide evenly over "
+                f"{pc} processes")
+        return device_prefetch(
+            iterate_batches(train_ds, config.batch_size // pc, repeat=True,
+                            seed=config.seed),
+            sharding=sharding)
     nbytes = train_ds.images.nbytes + (
         train_ds.labels.nbytes if train_ds.labels is not None else 0)
     if not config.host_data and nbytes <= DEVICE_RESIDENT_MAX_BYTES:
@@ -121,7 +136,8 @@ def train_vae(config, max_steps: Optional[int] = None):
         state = ckpt.restore_checkpoint(config.resume, state)
         print(f"Resumed from {config.resume} at step {int(state.step)}")
 
-    mesh = create_mesh(config.num_data_shards, config.num_model_shards)
+    mesh = activate_mesh(
+        create_mesh(config.num_data_shards, config.num_model_shards))
     state = shard_state(state, mesh)
     sharding = batch_sharding(mesh)
 
@@ -276,7 +292,8 @@ def train_spair(config, max_steps: Optional[int] = None):
         state = ckpt.restore_checkpoint(config.resume, state)
         print(f"Resumed from {config.resume} at step {int(state.step)}")
 
-    mesh = create_mesh(config.num_data_shards, config.num_model_shards)
+    mesh = activate_mesh(
+        create_mesh(config.num_data_shards, config.num_model_shards))
     state = shard_state(state, mesh)
     sharding = batch_sharding(mesh)
 
