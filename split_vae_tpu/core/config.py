@@ -37,6 +37,10 @@ class BaseConfig:
     log_every: int = 100
     synthetic_data: bool = False  # offline-friendly synthetic datasets
     synthetic_size: int = 0  # >0 overrides the synthetic train-set size
+    # Synthetic SVHN flavor: "blobs" (smooth sinusoid stand-in, the shipped
+    # default) or "digits" (rendered glyphs with cluster structure — used by
+    # the GMVAE quality runs to demonstrate the clustering objective offline).
+    synthetic_style: str = "blobs"
     platform: Optional[str] = None  # override jax platform (e.g. 'cpu')
     host_data: bool = False  # force host-streaming batches (default: HBM-resident)
     # Multi-host (pod) bring-up: passed to jax.distributed.initialize before

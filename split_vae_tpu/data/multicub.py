@@ -55,10 +55,17 @@ def _overlaps(rand_x, rand_y, drawn, thresh=0.15):
     return False
 
 
-def synthetic_sprites(n: int = 256, seed: int = 0) -> np.ndarray:
+def synthetic_sprites(n: int = 256, seed: int = 0,
+                      min_color: float = 60.0) -> np.ndarray:
     """Bird-ish 14x14 masked sprites in [0, 255] with zero background,
     matching the CUB npy's contract (nonzero pixels = foreground,
-    spair/data.py:143)."""
+    spair/data.py:143).
+
+    ``min_color`` raises the sprite color floor — the contrast knob for the
+    Multi-Bird-Hard anti-collapse ablation (dark sprites on the rotating
+    checkerboard are the low-contrast regime where the z_pres anneal can
+    trade all objects away). Default 60 is the shipped behavior.
+    """
     rng = np.random.RandomState(seed)
     yy, xx = np.mgrid[0:SPRITE, 0:SPRITE].astype(np.float64)
     sprites = np.zeros((n, SPRITE, SPRITE, 3), np.float32)
@@ -70,7 +77,7 @@ def synthetic_sprites(n: int = 256, seed: int = 0) -> np.ndarray:
         rx = dx * math.cos(theta) + dy * math.sin(theta)
         ry = -dx * math.sin(theta) + dy * math.cos(theta)
         body = ((rx / ax) ** 2 + (ry / ay) ** 2) <= 1.0
-        color = rng.uniform(60, 255, 3)
+        color = rng.uniform(min_color, 255, 3)
         for c in range(3):
             sprites[i, :, :, c] = body * color[c] * (0.7 + 0.3 * (yy / SPRITE))
     return sprites
@@ -183,19 +190,22 @@ class MultiCUB:
         return buf
 
 
-def _load_sprites(data_dir: str, synthetic: bool, seed: int):
+def _load_sprites(data_dir: str, synthetic: bool, seed: int,
+                  sprite_min_color: float = 60.0):
     train_npy = os.path.join(data_dir, "cub_train_seg_14x14_pad_20_masked.npy")
     test_npy = os.path.join(data_dir, "cub_test_seg_14x14_pad_20_masked.npy")
     if not synthetic and os.path.exists(train_npy):
         train = np.load(train_npy).astype(np.float32)
         test = np.load(test_npy).astype(np.float32) if os.path.exists(test_npy) else None
         return train, test
-    return synthetic_sprites(256, seed), synthetic_sprites(64, seed + 1)
+    return (synthetic_sprites(256, seed, sprite_min_color),
+            synthetic_sprites(64, seed + 1, sprite_min_color))
 
 
 def create_multicub_cache(
     name: str, data_dir: str, n_train: int = 100_000, n_eval: int = 1_000,
     synthetic: bool = False, seed: int = 0, size: int = 48,
+    sprite_min_color: float = 60.0,
 ) -> str:
     """Generate and cache the three splits (spair/data.py:229-255)."""
     if name not in ("cub_solid_fixed", "cub_ckb_rot_6"):
@@ -203,10 +213,12 @@ def create_multicub_cache(
     bg = name[4:]
     cache_dir = os.path.join(data_dir, "multi_cub")
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"{name}_{n_train}_{n_eval}.npz")
+    contrast_tag = "" if sprite_min_color == 60.0 else f"_c{int(sprite_min_color)}"
+    path = os.path.join(cache_dir, f"{name}_{n_train}_{n_eval}{contrast_tag}.npz")
     if os.path.exists(path):
         return path
-    sprites_train, sprites_test = _load_sprites(data_dir, synthetic, seed)
+    sprites_train, sprites_test = _load_sprites(
+        data_dir, synthetic, seed, sprite_min_color)
 
     def _palette(bg_name: str) -> np.ndarray:
         if "rot" in bg_name:
@@ -238,7 +250,8 @@ def create_multicub_cache(
     return path
 
 
-def get_multicub(config, n_train: Optional[int] = None, n_eval: Optional[int] = None):
+def get_multicub(config, n_train: Optional[int] = None, n_eval: Optional[int] = None,
+                 sprite_min_color: float = 60.0):
     """Returns (train ds, [test ds, unseen test ds], input_shape, test_shape).
 
     Mirrors get_cub_dataset (spair/data.py:258-278).
@@ -249,7 +262,8 @@ def get_multicub(config, n_train: Optional[int] = None, n_eval: Optional[int] = 
     n_eval = n_eval if n_eval is not None else (256 if config.synthetic_data else 1_000)
     path = create_multicub_cache(
         config.dataset, config.data_dir, n_train=n_train, n_eval=n_eval,
-        synthetic=config.synthetic_data, seed=config.seed)
+        synthetic=config.synthetic_data, seed=config.seed,
+        sprite_min_color=sprite_min_color)
     with np.load(path) as z:
         train = ArrayDataset(z["train"])
         test = ArrayDataset(z["test"], z["count_test"] if config.label else None)

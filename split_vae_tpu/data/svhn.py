@@ -73,10 +73,72 @@ def synthetic_svhn(n_train: int = 512, n_test: int = 128, seed: int = 0):
     return x_train, y_train, x_test, y_test
 
 
+# 3x5 segment glyphs for the "digits" synthetic flavor.
+_DIGIT_GLYPHS = np.array([
+    # 0        1        2        3        4
+    [[1, 1, 1], [0, 1, 0], [1, 1, 1], [1, 1, 1], [1, 0, 1]],
+    [[1, 0, 1], [1, 1, 0], [0, 0, 1], [0, 0, 1], [1, 0, 1]],
+    [[1, 0, 1], [0, 1, 0], [1, 1, 1], [0, 1, 1], [1, 1, 1]],
+    [[1, 0, 1], [0, 1, 0], [1, 0, 0], [0, 0, 1], [0, 0, 1]],
+    [[1, 1, 1], [1, 1, 1], [1, 1, 1], [1, 1, 1], [0, 0, 1]],
+], dtype=np.float32).transpose(1, 0, 2)  # -> [digit(0-4), 5, 3] after stack fix
+_DIGIT_GLYPHS_59 = np.array([
+    # 5        6        7        8        9
+    [[1, 1, 1], [1, 1, 1], [1, 1, 1], [1, 1, 1], [1, 1, 1]],
+    [[1, 0, 0], [1, 0, 0], [0, 0, 1], [1, 0, 1], [1, 0, 1]],
+    [[1, 1, 1], [1, 1, 1], [0, 1, 0], [1, 1, 1], [1, 1, 1]],
+    [[0, 0, 1], [1, 0, 1], [0, 1, 0], [1, 0, 1], [0, 0, 1]],
+    [[1, 1, 1], [1, 1, 1], [1, 0, 0], [1, 1, 1], [1, 1, 1]],
+], dtype=np.float32).transpose(1, 0, 2)
+
+
+def _glyph(digit: int) -> np.ndarray:
+    """5x3 binary bitmap of a digit (segment-display style)."""
+    if digit < 5:
+        return _DIGIT_GLYPHS[digit]
+    return _DIGIT_GLYPHS_59[digit - 5]
+
+
+def synthetic_svhn_digits(n_train: int = 512, n_test: int = 128, seed: int = 0):
+    """Clusterable synthetic SVHN: rendered digit glyphs, SVHN shapes/labels.
+
+    Unlike the ``blobs`` stand-in (whose sinusoid classes alias — LGGMVae
+    cluster accuracy plateaus near chance on it, BASELINE.md), each class here
+    is a visually distinct glyph: 5x3 segment bitmaps upscaled to 25x15,
+    jittered +-3 px, bright foreground on a dark background with random
+    colors. Shape, not color, carries the class — exactly the structure the
+    GMVAE's Gumbel-softmax clustering objective (vae/model.py:170-249) is
+    meant to discover. Offline demonstration data only; never the default.
+    """
+    rng = np.random.RandomState(seed)
+
+    def make(n):
+        labels = rng.randint(0, 10, n)
+        imgs = np.zeros((n, 32, 32, 3), np.float32)
+        for i in range(n):
+            glyph = np.kron(_glyph(labels[i]), np.ones((5, 5), np.float32))
+            bg = rng.uniform(0.0, 0.3, 3)
+            fg = rng.uniform(0.6, 1.0, 3)
+            imgs[i] = bg[None, None]
+            oy = 3 + rng.randint(-3, 4)
+            ox = 8 + rng.randint(-3, 4)
+            m = glyph[..., None]
+            region = imgs[i, oy:oy + 25, ox:ox + 15]
+            imgs[i, oy:oy + 25, ox:ox + 15] = region * (1 - m) + m * fg[None, None]
+        return (imgs * 255).astype(np.uint8), labels + 1  # .mat-style 1..10
+
+    x_train, y_train = make(n_train)
+    x_test, y_test = make(n_test)
+    return x_train, y_train, x_test, y_test
+
+
 def get_svhn(config, extra: bool = True):
     """Returns (train ArrayDataset, test ArrayDataset, input_shape [-1,H,W,C])."""
     if config.synthetic_data:
-        x_train, y_train, x_test, y_test = synthetic_svhn(
+        gen = (synthetic_svhn_digits
+               if getattr(config, "synthetic_style", "blobs") == "digits"
+               else synthetic_svhn)
+        x_train, y_train, x_test, y_test = gen(
             n_train=getattr(config, "synthetic_size", 0) or 512,
             n_test=max(128, (getattr(config, "synthetic_size", 0) or 512) // 8),
             seed=config.seed)

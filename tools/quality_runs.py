@@ -27,20 +27,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_spair(steps: int, batch: int, out_dir: str, model: str = "lg_spair",
-              lr: float = 1e-4, dataset: str = "cub_ckb_rot_6"):
+              lr: float = 1e-4, dataset: str = "cub_ckb_rot_6",
+              z_what_beta: float = 0.5, z_pres_anneal_step: float = 10_000.0,
+              sprite_contrast: float = 60.0):
+    """z_what_beta / z_pres_anneal_step / sprite_contrast are the
+    anti-collapse ablation knobs for the Multi-Bird-Hard config (round-2
+    finding: the canonical run collapses to zero detected objects at the
+    anneal endpoint; these isolate whether that is the objective's trade-off
+    on low-contrast data or a framework bug)."""
     from split_vae_tpu.core.config import SpairConfig
     from split_vae_tpu.data.multicub import get_multicub
     from split_vae_tpu.train import loop
 
     # Larger synthetic MultiCUB than the test-suite default so count metrics
     # measure generalization, not memorization.
-    loop.get_multicub = functools.partial(get_multicub, n_train=20_000, n_eval=512)
+    loop.get_multicub = functools.partial(
+        get_multicub, n_train=20_000, n_eval=512,
+        sprite_min_color=sprite_contrast)
 
     lg = model == "lg_spair"
     config = SpairConfig(
         model=model, dataset=dataset, batch_size=batch, learning_rate=lr,
         latent_size=64, bg_latent_size=64, local_latent_size=64,
-        z_bg_beta=1.0, z_what_beta=0.5, patch_size=8, split_z_l=lg,
+        z_bg_beta=1.0, z_what_beta=z_what_beta,
+        z_pres_anneal_step=z_pres_anneal_step, patch_size=8, split_z_l=lg,
         concat_z_what=lg, dense_local=lg, dense_bg=lg,
         synthetic_data=True, training_steps=steps, eval_interval=1000,
         checkpoint_interval=10_000, output_dir=out_dir, log_every=500)
@@ -49,7 +59,7 @@ def run_spair(steps: int, batch: int, out_dir: str, model: str = "lg_spair",
                      "test1/count_acc")
 
 
-def run_gmvae(steps: int, batch: int, out_dir: str):
+def run_gmvae(steps: int, batch: int, out_dir: str, style: str = "blobs"):
     from split_vae_tpu.core.config import VaeConfig
     from split_vae_tpu.train import loop
 
@@ -59,7 +69,7 @@ def run_gmvae(steps: int, batch: int, out_dir: str):
     config = VaeConfig(
         model="lggmvae", dataset="svhn", beta=40.0, alpha=40.0, y_size=30,
         patch_size=4, batch_size=batch, synthetic_data=True,
-        synthetic_size=8192,
+        synthetic_size=8192, synthetic_style=style,
         training_steps=steps, eval_interval=2000, checkpoint_interval=10_000,
         output_dir=out_dir, log_every=500)
     state, run_dir = loop.train_vae(config)
@@ -91,14 +101,22 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--dataset", default="cub_ckb_rot_6")
     ap.add_argument("--out_dir", default="output")
+    ap.add_argument("--z_what_beta", type=float, default=0.5)
+    ap.add_argument("--z_pres_anneal_step", type=float, default=10_000.0)
+    ap.add_argument("--sprite_contrast", type=float, default=60.0)
+    ap.add_argument("--style", default="blobs",
+                    help="gmvae synthetic flavor: blobs|digits")
     args = ap.parse_args()
     if args.workload == "spair":
         run_dir, keys = run_spair(args.steps or 20_000, args.batch or 256,
                                   args.out_dir, model=args.model, lr=args.lr,
-                                  dataset=args.dataset)
+                                  dataset=args.dataset,
+                                  z_what_beta=args.z_what_beta,
+                                  z_pres_anneal_step=args.z_pres_anneal_step,
+                                  sprite_contrast=args.sprite_contrast)
     else:
         run_dir, keys = run_gmvae(args.steps or 30_000, args.batch or 64,
-                                  args.out_dir)
+                                  args.out_dir, style=args.style)
     summarize(run_dir, keys)
 
 
