@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from split_vae_tpu.nn.common import Conv, Dense, flatten, resize_bilinear
+from split_vae_tpu.nn.pixel_shuffle import Resize2xConv
 from split_vae_tpu.ops.distributions import (
     concrete_binary_pre_sigmoid_sample,
     reparameterize,
@@ -75,12 +76,10 @@ class ImageDecoder(nn.Module):
         x = nn.relu(Dense(h // 8 * (w // 8) * 128)(z))
         x = x.reshape(-1, h // 8, w // 8, 128)
         x = nn.relu(Conv(128, (3, 3), padding="SAME")(x))
-        x = resize_bilinear(x, h // 4, w // 4)
-        x = nn.relu(Conv(64, (3, 3), padding="SAME")(x))
-        x = resize_bilinear(x, h // 2, w // 2)
-        x = nn.sigmoid(Conv(32, (3, 3), padding="SAME")(x))
-        x = resize_bilinear(x, h, w)
-        return nn.sigmoid(Conv(self.num_channel, (3, 3), padding="SAME")(x))
+        x = nn.relu(Resize2xConv(64, (h // 4, w // 4), name="Conv_1")(x))
+        x = nn.sigmoid(Resize2xConv(32, (h // 2, w // 2), name="Conv_2")(x))
+        return nn.sigmoid(
+            Resize2xConv(self.num_channel, (h, w), name="Conv_3")(x))
 
 
 class ImageDecoderDense(nn.Module):
@@ -119,12 +118,10 @@ class BackgroundModel(nn.Module):
         d = nn.relu(Dense(h // 8 * (w // 8) * 128)(z))
         d = d.reshape(-1, h // 8, w // 8, 128)
         d = nn.relu(Conv(128, (3, 3), padding="SAME")(d))
-        d = resize_bilinear(d, h // 4, w // 4)
-        d = nn.relu(Conv(64, (3, 3), padding="SAME")(d))
-        d = resize_bilinear(d, h // 2, w // 2)
-        d = nn.sigmoid(Conv(32, (3, 3), padding="SAME")(d))
-        d = resize_bilinear(d, h, w)
-        bg = nn.sigmoid(Conv(self.num_channel, (3, 3), padding="SAME")(d))
+        d = nn.relu(Resize2xConv(64, (h // 4, w // 4), name="Conv_4")(d))
+        d = nn.sigmoid(Resize2xConv(32, (h // 2, w // 2), name="Conv_5")(d))
+        bg = nn.sigmoid(
+            Resize2xConv(self.num_channel, (h, w), name="Conv_6")(d))
         return bg, z, z_mean, z_sig
 
 
@@ -223,10 +220,9 @@ class GlimpseDecoder(nn.Module):
         x = nn.relu(Dense(os_ // 4 * (os_ // 4) * 32)(x))
         x = x.reshape(-1, os_ // 4, os_ // 4, 32)
         x = nn.relu(Conv(64, (3, 3), padding="SAME")(x))
-        x = resize_bilinear(x, os_ // 2, os_ // 2)
-        x = nn.relu(Conv(32, (3, 3), padding="SAME")(x))
-        x = resize_bilinear(x, os_, os_)
-        return nn.sigmoid(Conv(self.num_channel, (3, 3), padding="SAME")(x))
+        x = nn.relu(Resize2xConv(32, (os_ // 2, os_ // 2), name="Conv_1")(x))
+        return nn.sigmoid(
+            Resize2xConv(self.num_channel, (os_, os_), name="Conv_2")(x))
 
 
 class ObjDecoder(nn.Module):
@@ -243,10 +239,11 @@ class ObjDecoder(nn.Module):
         x = nn.relu(Dense(os_ // 4 * (os_ // 4) * 32)(x))
         x = x.reshape(-1, os_ // 4, os_ // 4, 32)
         x = nn.relu(Conv(64, (3, 3), padding="SAME")(x))
-        x = resize_bilinear(x, os_ // 2, os_ // 2)
-        x = nn.relu(Conv(32, (3, 3), padding="SAME")(x))
-        x = resize_bilinear(x, os_, os_)
-        x = Conv(self.num_channel + 1, (3, 3), padding="SAME")(x)
+        # resize->conv pairs fused (exact; nn/pixel_shuffle.py): the 2x
+        # upsampled intermediates — the largest HBM tensors in the SPAIR step
+        # (BASELINE.md ObjDecoder breakdown) — are never materialized.
+        x = nn.relu(Resize2xConv(32, (os_ // 2, os_ // 2), name="Conv_1")(x))
+        x = Resize2xConv(self.num_channel + 1, (os_, os_), name="Conv_2")(x)
         return nn.sigmoid(x[..., : self.num_channel]), nn.sigmoid(x[..., self.num_channel :])
 
 

@@ -88,8 +88,14 @@ def activate_mesh(mesh: Mesh) -> Mesh:
     axis. Train loops call this right after ``create_mesh`` so every jitted
     step traced afterwards sees the session's mesh — no mutable framework
     global, just JAX's own thread-local mesh context.
+
+    A 1-device mesh is deliberately NOT installed: nothing needs shard_map
+    there, and an ambient mesh context changes the traced/compiled program
+    (SPMD pass in the pipeline) even when it is semantically a no-op —
+    single-chip training should stay byte-identical to the unmeshed trace.
     """
-    jax.sharding.set_mesh(mesh)
+    if mesh.devices.size > 1:
+        jax.sharding.set_mesh(mesh)
     return mesh
 
 

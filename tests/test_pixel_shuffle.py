@@ -1,0 +1,52 @@
+"""Exactness of the fused resize2x->conv (nn/pixel_shuffle.py) vs the
+reference chain (half-pixel bilinear 2x upsample, then 3x3 SAME conv)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from split_vae_tpu.nn.pixel_shuffle import resize2x_conv
+
+
+def _reference_chain(x, kernel, bias):
+    n, s, _, _ = x.shape
+    up = jax.image.resize(x, (n, 2 * s, 2 * s, x.shape[-1]), "bilinear")
+    out = jax.lax.conv_general_dilated(
+        up, kernel, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out + bias
+
+
+@pytest.mark.parametrize("s,cin,cout", [(8, 32, 64), (16, 64, 32), (4, 3, 4),
+                                        (5, 2, 3)])
+def test_resize2x_conv_exact(s, cin, cout):
+    rng = np.random.RandomState(s * 100 + cin)
+    x = jnp.asarray(rng.randn(3, s, s, cin).astype(np.float32))
+    kernel = jnp.asarray(rng.randn(3, 3, cin, cout).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.randn(cout).astype(np.float32))
+    with jax.default_matmul_precision("highest"):
+        want = _reference_chain(x, kernel, bias)
+        got = resize2x_conv(x, kernel, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_resize2x_conv_gradients_match():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+    kernel = jnp.asarray(rng.randn(3, 3, 4, 8).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.randn(8).astype(np.float32))
+    cot = jnp.asarray(rng.randn(2, 16, 16, 8).astype(np.float32))
+
+    def loss(f, *args):
+        return jnp.sum(f(*args) * cot)
+
+    with jax.default_matmul_precision("highest"):
+        g_ref = jax.grad(lambda *a: loss(_reference_chain, *a),
+                         argnums=(0, 1, 2))(x, kernel, bias)
+        g_fused = jax.grad(lambda *a: loss(resize2x_conv, *a),
+                           argnums=(0, 1, 2))(x, kernel, bias)
+    for a, b in zip(g_ref, g_fused):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-4, rtol=1e-4)

@@ -29,7 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def run_spair(steps: int, batch: int, out_dir: str, model: str = "lg_spair",
               lr: float = 1e-4, dataset: str = "cub_ckb_rot_6",
               z_what_beta: float = 0.5, z_pres_anneal_step: float = 10_000.0,
-              sprite_contrast: float = 60.0):
+              sprite_contrast: float = 60.0, seed: int = 0,
+              z_bg_beta: float = None, bg_latent_size: int = None):
     """z_what_beta / z_pres_anneal_step / sprite_contrast are the
     anti-collapse ablation knobs for the Multi-Bird-Hard config (round-2
     finding: the canonical run collapses to zero detected objects at the
@@ -46,10 +47,21 @@ def run_spair(steps: int, batch: int, out_dir: str, model: str = "lg_spair",
         sprite_min_color=sprite_contrast)
 
     lg = model == "lg_spair"
+    # bg_spair's canonical Table-1 command constrains the background VAE
+    # (z_bg_beta 10, bg_latent_size 4): with a rich unconstrained background
+    # (beta 1, latent 64) the z_pres anneal hands the whole scene to the
+    # background model and counts collapse to zero — measured both ways; see
+    # BASELINE.md. (-dense_bg in the reference command is inert for bg_spair:
+    # its BackgroundModel is always the conv VAE, spair/spair.py:27-30.)
+    if z_bg_beta is None:
+        z_bg_beta = 1.0 if lg else 10.0
+    if bg_latent_size is None:
+        bg_latent_size = 64 if lg else 4
     config = SpairConfig(
+        seed=seed,
         model=model, dataset=dataset, batch_size=batch, learning_rate=lr,
-        latent_size=64, bg_latent_size=64, local_latent_size=64,
-        z_bg_beta=1.0, z_what_beta=z_what_beta,
+        latent_size=64, bg_latent_size=bg_latent_size, local_latent_size=64,
+        z_bg_beta=z_bg_beta, z_what_beta=z_what_beta,
         z_pres_anneal_step=z_pres_anneal_step, patch_size=8, split_z_l=lg,
         concat_z_what=lg, dense_local=lg, dense_bg=lg,
         synthetic_data=True, training_steps=steps, eval_interval=1000,
@@ -106,6 +118,9 @@ def main():
     ap.add_argument("--sprite_contrast", type=float, default=60.0)
     ap.add_argument("--style", default="blobs",
                     help="gmvae synthetic flavor: blobs|digits")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--z_bg_beta", type=float, default=None)
+    ap.add_argument("--bg_latent_size", type=int, default=None)
     args = ap.parse_args()
     if args.workload == "spair":
         run_dir, keys = run_spair(args.steps or 20_000, args.batch or 256,
@@ -113,7 +128,9 @@ def main():
                                   dataset=args.dataset,
                                   z_what_beta=args.z_what_beta,
                                   z_pres_anneal_step=args.z_pres_anneal_step,
-                                  sprite_contrast=args.sprite_contrast)
+                                  sprite_contrast=args.sprite_contrast,
+                                  seed=args.seed, z_bg_beta=args.z_bg_beta,
+                                  bg_latent_size=args.bg_latent_size)
     else:
         run_dir, keys = run_gmvae(args.steps or 30_000, args.batch or 64,
                                   args.out_dir, style=args.style)
