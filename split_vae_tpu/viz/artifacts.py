@@ -12,6 +12,7 @@ single batched device call.
 from __future__ import annotations
 
 import os
+import functools
 from collections import defaultdict
 import jax
 import jax.numpy as jnp
@@ -39,19 +40,54 @@ def _save(canvas: np.ndarray, path: str, figsize=None) -> None:
     plt.close()
 
 
+# All viz forwards are jitted (cached per model/method): run eagerly they
+# dispatch hundreds of single-op programs per artifact, which dominated the
+# eval/viz cadence on CPU.
+
+
+@functools.lru_cache(maxsize=None)
+def _encode_jit(model):
+    return jax.jit(lambda p, x, k: model.apply(
+        {"params": p}, x, method="encode", rngs={"sample": k}))
+
+
 def _encode(model, params, images, key):
-    return model.apply({"params": params}, jnp.asarray(images), method="encode",
-                       rngs={"sample": key})
+    return _encode_jit(model)(params, jnp.asarray(images), key)
+
+
+@functools.lru_cache(maxsize=None)
+def _decode_jit(model, with_zl, rescale):
+    if with_zl:
+        return jax.jit(lambda p, zg, zl: model.apply(
+            {"params": p}, zg, zl, rescale, method="decode"))
+    return jax.jit(lambda p, zg: model.apply(
+        {"params": p}, zg, rescale, method="decode"))
 
 
 def _decode(model, params, z_g, z_l=None, rescale=True):
     if z_l is None:
-        return model.apply({"params": params}, z_g, rescale, method="decode")
-    return model.apply({"params": params}, z_g, z_l, rescale, method="decode")
+        return _decode_jit(model, False, rescale)(params, jnp.asarray(z_g))
+    return _decode_jit(model, True, rescale)(
+        params, jnp.asarray(z_g), jnp.asarray(z_l))
+
+
+@functools.lru_cache(maxsize=None)
+def _prior_for_y_jit(model):
+    return jax.jit(lambda p, y: model.apply({"params": p}, y, method="encode_y"))
 
 
 def _prior_for_y(model, params, y):
-    return model.apply({"params": params}, y, method="encode_y")
+    return _prior_for_y_jit(model)(params, jnp.asarray(y))
+
+
+@functools.lru_cache(maxsize=None)
+def _get_y_jit(model):
+    return jax.jit(lambda p, x, k: model.apply(
+        {"params": p}, x, method="get_y", rngs={"sample": k}))
+
+
+def _get_y(model, params, images, key):
+    return _get_y_jit(model)(params, jnp.asarray(images), key)
 
 
 def reconstruction_test_lg_vae(model, params, images, key, filename="", filepath=".", n=10):
@@ -203,8 +239,7 @@ def plot_latent_dims(model, params, batches, key, filepath=".", variational=True
     zs = []
     for images in batches:
         key, sub = jax.random.split(key)
-        z = model.apply({"params": params}, jnp.asarray(images), method="encode",
-                        rngs={"sample": sub})
+        z = _encode(model, params, images, sub)
         if isinstance(z, tuple):
             z = z[0]
         zs.append(np.asarray(z))
@@ -228,8 +263,7 @@ def unseen_cluster(model, params, images, key, filename="", filepath=".", n=10):
     x_test = np.asarray(images[:n])
     h, w = x_test.shape[1:3]
     key, k1, k2 = jax.random.split(key, 3)
-    _, y_logits = model.apply({"params": params}, jnp.asarray(x_test), method="get_y",
-                              rngs={"sample": k1})
+    _, y_logits = _get_y(model, params, x_test, k1)
     discrete_y = jax.nn.one_hot(jnp.argmax(y_logits, axis=1), model.y_size)
     pm, ps = _prior_for_y(model, params, discrete_y)
     eps = jax.random.normal(k2, (n, 10, model.global_latent_dims))
@@ -261,8 +295,7 @@ def unseen_cluster_lg_svhn(model, params, test_images, key, filename="", filepat
     x = test_images[idx]
     x_test = np.concatenate([x, x], axis=-1)  # tile to 6 channels (ref :398)
     h, w = x.shape[1:3]
-    _, y_logits = model.apply({"params": params}, jnp.asarray(x_test),
-                              method="get_y", rngs={"sample": key})
+    _, y_logits = _get_y(model, params, x_test, key)
     cluster = np.asarray(jnp.argmax(y_logits, axis=1))
     canvas = None
     for c in range(model.y_size):
@@ -294,8 +327,7 @@ def unseen_cluster_lg(model, params, batches, key, filename="", filepath=".", pe
     for images in batches:
         images = np.asarray(images)
         key, sub = jax.random.split(key)
-        y, y_logits = model.apply({"params": params}, jnp.asarray(images),
-                                  method="get_y", rngs={"sample": sub})
+        y, y_logits = _get_y(model, params, images, sub)
         probs = np.asarray(jax.nn.softmax(y_logits, axis=1))
         cluster = probs.argmax(axis=1)
         for c in range(model.y_size):

@@ -10,6 +10,7 @@ x_hat_reconstruction_test -> ``x_hat_reconstrcution_test<suffix>.png``.
 
 from __future__ import annotations
 
+import functools as _functools
 import os
 
 import matplotlib
@@ -25,10 +26,27 @@ def _sigmoid(x):
     return 1.0 / (1.0 + np.exp(-np.asarray(x)))
 
 
+@_functools.lru_cache(maxsize=None)
+def _forward_jit(apply_fn):
+    import jax
+
+    def fwd(params, images, key):
+        # fused=False: viz needs the materialized per-cell canvases.
+        return apply_fn({"params": params}, images, True, fused=False,
+                        rngs={"sample": key})
+
+    return jax.jit(fwd)
+
+
 def _forward(apply_fn, params, images, key):
-    # fused=False: viz needs the materialized per-cell canvases.
-    return apply_fn({"params": params}, images, True, fused=False,
-                    rngs={"sample": key})
+    # Jitted (keyed by the bound apply_fn): the viz forwards used to run
+    # eagerly, dispatching ~700 single-op programs per eval — this was the
+    # dominant cost of the eval/viz cadence on CPU (and most of the
+    # integration-test suite's wall time). One compile, shared by all five
+    # generators at a given image shape.
+    import jax.numpy as jnp
+
+    return _forward_jit(apply_fn)(params, jnp.asarray(images), key)
 
 
 def reconstruction_test(apply_fn, params, images, key, filename="", filepath=".", n=10):
