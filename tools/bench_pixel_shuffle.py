@@ -53,7 +53,7 @@ def timeit_loop(fn, args, n_iter=50):
     def run(*args):
         def body(_, carry):
             x, acc = carry
-            out = fn(x + acc * 1e-30, *args[1:])
+            out = fn(x + (acc * 1e-30).astype(x.dtype), *args[1:])
             return x, jnp.sum(out) * 1e-30 + acc * 0.5
         _, acc = jax.lax.fori_loop(0, n_iter, body, (args[0], jnp.float32(0)))
         return acc
