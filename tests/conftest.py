@@ -31,6 +31,10 @@ try:
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Subprocess-based tests (dryrun re-exec, multihost children) call
+    # setup_runtime(), which honors this env var — same cache, no cold
+    # recompiles in children.
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = _cache_dir
 except Exception:
     pass
 

@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from split_vae_tpu.nn.pixel_shuffle import resize2x_conv
+from split_vae_tpu.nn.pixel_shuffle import resize2x_conv, resize2x_conv_any
 
 
 def _reference_chain(x, kernel, bias):
@@ -46,6 +46,49 @@ def test_resize2x_conv_gradients_match():
         g_ref = jax.grad(lambda *a: loss(_reference_chain, *a),
                          argnums=(0, 1, 2))(x, kernel, bias)
         g_fused = jax.grad(lambda *a: loss(resize2x_conv, *a),
+                           argnums=(0, 1, 2))(x, kernel, bias)
+    for a, b in zip(g_ref, g_fused):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-4, rtol=1e-4)
+
+
+# --- general kernel sizes (VAE conv decoder: 4x4 and 6x6, vae/model.py:145-169)
+
+
+@pytest.mark.parametrize("k,s,cin,cout", [
+    (3, 8, 4, 8),    # must agree with the dedicated 3x3 path's reference
+    (4, 8, 8, 16),   # even kernel, asymmetric XLA SAME padding
+    (4, 5, 3, 4),    # odd spatial size
+    (6, 8, 8, 6),    # the decoder's output conv shape class
+    (6, 4, 2, 3),    # kernel as large as the source side
+])
+def test_resize2x_conv_any_exact(k, s, cin, cout):
+    rng = np.random.RandomState(1000 * k + 10 * s + cin)
+    x = jnp.asarray(rng.randn(3, s, s, cin).astype(np.float32))
+    kernel = jnp.asarray(rng.randn(k, k, cin, cout).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.randn(cout).astype(np.float32))
+    with jax.default_matmul_precision("highest"):
+        want = _reference_chain(x, kernel, bias)
+        got = resize2x_conv_any(x, kernel, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("k", [4, 6])
+def test_resize2x_conv_any_gradients_match(k):
+    rng = np.random.RandomState(k)
+    x = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+    kernel = jnp.asarray(rng.randn(k, k, 4, 8).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.randn(8).astype(np.float32))
+    cot = jnp.asarray(rng.randn(2, 16, 16, 8).astype(np.float32))
+
+    def loss(f, *args):
+        return jnp.sum(f(*args) * cot)
+
+    with jax.default_matmul_precision("highest"):
+        g_ref = jax.grad(lambda *a: loss(_reference_chain, *a),
+                         argnums=(0, 1, 2))(x, kernel, bias)
+        g_fused = jax.grad(lambda *a: loss(resize2x_conv_any, *a),
                            argnums=(0, 1, 2))(x, kernel, bias)
     for a, b in zip(g_ref, g_fused):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),

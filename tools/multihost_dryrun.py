@@ -45,6 +45,11 @@ def _child(process_id: int, port: int) -> None:
     import optax
 
     sys.path.insert(0, REPO)
+    # Persistent compile cache (honors JAX_COMPILATION_CACHE_DIR): without it
+    # both children pay the full train-step compile on every dryrun.
+    from split_vae_tpu.core.runtime import setup_runtime
+
+    setup_runtime(platform="cpu")
     from split_vae_tpu.core.config import VaeConfig
     from split_vae_tpu.core.state import create_train_state
     from split_vae_tpu.data.loader import ArrayDataset, device_prefetch, iterate_batches
