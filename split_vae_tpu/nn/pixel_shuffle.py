@@ -153,41 +153,6 @@ class Resize2xConv(nn.Module):
         return _conv(up, kernel, "SAME") + bias
 
 
-def _phase_matrices(k: int, pad_lo: int):
-    """Per-phase tap matrices for a k-tap SAME conv composed with the 2x
-    half-pixel bilinear upsample.
-
-    O[2i+p] = sum_t K[t] U[2i+p-pad_lo+t] with U[2m]=.25x[m-1]+.75x[m],
-    U[2m+1]=.75x[m]+.25x[m+1]. Returns ([A_0, A_1], d_lo, d_hi) where
-    A_p[t, d] is the weight of source tap x[i + d - d_lo] in conv tap t of
-    output phase p, and (d_lo, d_hi) bound the source support (the required
-    edge padding). Generalizes the hardcoded 3x3 matrices above to the even
-    4x4/6x6 kernels of the VAE conv decoder (vae/model.py:145-169), whose
-    XLA SAME padding is asymmetric (lo=(k-1)//2, hi=k//2).
-    """
-    contribs = {0: {}, 1: {}}
-    d_min, d_max = 0, 0
-    for p in (0, 1):
-        for t in range(k):
-            u = p - pad_lo + t  # U index offset relative to 2i
-            if u % 2 == 0:
-                m = u // 2
-                taps = ((m - 1, 0.25), (m, 0.75))
-            else:
-                m = (u - 1) // 2
-                taps = ((m, 0.75), (m + 1, 0.25))
-            for d, w in taps:
-                contribs[p][(t, d)] = contribs[p].get((t, d), 0.0) + w
-                d_min, d_max = min(d_min, d), max(d_max, d)
-    mats = []
-    for p in (0, 1):
-        a = np.zeros((k, d_max - d_min + 1), np.float32)
-        for (t, d), w in contribs[p].items():
-            a[t, d - d_min] = w
-        mats.append(a)
-    return mats, -d_min, d_max
-
-
 def _upsample2x_axis(x: Array, axis: int) -> Array:
     """Exact half-pixel 2x bilinear (with edge clamp) along one spatial axis
     of an NHWC tensor."""
@@ -198,65 +163,86 @@ def _upsample2x_axis(x: Array, axis: int) -> Array:
     return jnp.moveaxis(up, 1, axis)
 
 
+def _stencil_matrix(k: int) -> np.ndarray:
+    """S[t, j] with W[j] = sum_t S[t, j] K[t]: folds the 4-tap half-pixel
+    stencil s = [0.25, 0.75, 0.75, 0.25] (coefficient of x[m] in U[2m+d],
+    d = -1..2) into a conv kernel evaluated with lhs_dilation=2."""
+    s_tap = {-1: 0.25, 0: 0.75, 1: 0.75, 2: 0.25}
+    mat = np.zeros((k, k + 3), np.float32)
+    for t in range(k):
+        for j in range(k + 3):
+            mat[t, j] = s_tap.get(2 + t - j, 0.0)
+    return mat
+
+
 def resize2x_conv_any(x: Array, kernel: Array, bias: Array | None = None) -> Array:
     """Exact conv(SAME)(half_pixel_bilinear_2x(x)) for ANY kernel size.
 
-    x [N,s,s,Cin], kernel [kh,kw,Cin,Cout] -> [N,2s,2s,Cout]. Interior via
-    per-phase composed kernels (4x-wider Cout conv + depth-to-space, MXU
-    lane packing for the tiny-Cout decoder convs — BASELINE.md MFU
-    analysis); the output ring where the reference conv's zero padding
-    crosses the image edge is overwritten with the reference computation on
-    thin upsampled strips (O(s) work), so the result is exact everywhere
-    rather than approximating the border.
+    x [N,s,s,Cin], kernel [kh,kw,Cin,Cout] -> [N,2s,2s,Cout]. Interior: the
+    bilinear stencil is folded into the conv kernel and the composition is
+    evaluated as ONE ``lhs_dilation=2`` conv on the edge-padded source —
+    the exact form of XLA's conv-input-gradient pattern, which the TPU
+    backend lowers natively (no upsampled intermediate, no depth-to-space
+    transpose; a phase-conv + transpose variant measured 18% slower at the
+    VAE decoder's C=6 output layer, where the interleave's contiguous runs
+    are 2*C elements). The output ring where the reference conv's zero
+    padding crosses the image edge is overwritten with the reference
+    computation on thin upsampled strips (O(s) work), so the result is
+    exact everywhere rather than approximating the border.
     """
     n, s, _, cin = x.shape
     kh, kw, _, cout = kernel.shape
     plo_h, phi_h = (kh - 1) // 2, kh // 2
     plo_w, phi_w = (kw - 1) // 2, kw // 2
-    ah, dlo_h, dhi_h = _phase_matrices(kh, plo_h)
-    aw, dlo_w, dhi_w = _phase_matrices(kw, plo_w)
-    ah = [jnp.asarray(a, kernel.dtype) for a in ah]
-    aw = [jnp.asarray(a, kernel.dtype) for a in aw]
-    blocks = [
-        jnp.einsum("yxio,yd,xe->deio", kernel, ah[py], aw[px])
-        for py in (0, 1) for px in (0, 1)
-    ]
-    wall = jnp.concatenate(blocks, axis=-1)  # [kh', kw', Cin, 4*Cout]
-    xe = jnp.pad(x, ((0, 0), (dlo_h, dhi_h), (dlo_w, dhi_w), (0, 0)), mode="edge")
-    y = _conv(xe, wall, "VALID")  # [N, s, s, 4*Cout]
-    y = y.reshape(n, s, s, 2, 2, cout)
-    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * s, 2 * s, cout)
+    sh = jnp.asarray(_stencil_matrix(kh), kernel.dtype)
+    sw = jnp.asarray(_stencil_matrix(kw), kernel.dtype)
+    wd = jnp.einsum("yxio,yd,xe->deio", kernel, sh, sw)  # [kh+3, kw+3, i, o]
+    xe = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    y = jax.lax.conv_general_dilated(
+        xe, wd, window_strides=(1, 1),
+        padding=((plo_h, kh - plo_h), (plo_w, kw - plo_w)),
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))  # [N, 2s, 2s, Cout]
 
     # --- exact border rings (reference path on thin strips) ----------------
     # Output row j uses U rows [j-plo_h, j-plo_h+kh); rows j < plo_h or
     # j >= 2s-phi_h see the conv's zero padding, which the fused path
-    # replaced with clamp-extended values. Recompute those rows/cols exactly.
+    # replaced with clamp-extended values. Recompute those rows/cols exactly
+    # and assemble the result with ONE concatenation — chained
+    # ``y.at[ring].set`` dynamic-update-slices each materialize a full copy
+    # of y, which at the VAE decoder's [B,64,64,C] output measurably
+    # regressed the step (−20% f32 at B=1024).
     band = kh // 2 + 1  # source rows whose upsample covers U rows [0, kh-1)
     zpad_w = ((0, 0), (0, 0), (plo_w, phi_w), (0, 0))
+    bandw = kw // 2 + 1
 
+    mid = y[:, plo_h:2 * s - phi_h]
+    if plo_w > 0 or phi_w > 0:
+        cols = []
+        if plo_w > 0:
+            u_left = _upsample2x_axis(
+                _upsample2x_axis(x[:, :, :bandw], 1), 2)[:, :, :kw - 1]
+            u_left = jnp.pad(u_left, ((0, 0), (0, 0), (plo_w, 0), (0, 0)))
+            cols.append(_conv(u_left, kernel, "VALID"))
+        cols.append(mid[:, :, plo_w:2 * s - phi_w])
+        if phi_w > 0:
+            u_right = _upsample2x_axis(
+                _upsample2x_axis(x[:, :, -bandw:], 1), 2)[:, :, -(kw - 1):]
+            u_right = jnp.pad(u_right, ((0, 0), (0, 0), (0, phi_w), (0, 0)))
+            cols.append(_conv(u_right, kernel, "VALID"))
+        mid = jnp.concatenate(cols, axis=2)
+
+    rows = []
     if plo_h > 0:
         u_top = _upsample2x_axis(_upsample2x_axis(x[:, :band], 2), 1)[:, :kh - 1]
         u_top = jnp.pad(u_top, ((0, 0), (plo_h, 0), (0, 0), (0, 0)))
-        top = _conv(jnp.pad(u_top, zpad_w), kernel, "VALID")
-        y = y.at[:, :plo_h].set(top)
+        rows.append(_conv(jnp.pad(u_top, zpad_w), kernel, "VALID"))
+    rows.append(mid)
     if phi_h > 0:
         u_bot = _upsample2x_axis(_upsample2x_axis(x[:, -band:], 2), 1)[:, -(kh - 1):]
         u_bot = jnp.pad(u_bot, ((0, 0), (0, phi_h), (0, 0), (0, 0)))
-        bot = _conv(jnp.pad(u_bot, zpad_w), kernel, "VALID")
-        y = y.at[:, 2 * s - phi_h:].set(bot)
-
-    mid = slice(plo_h, 2 * s - phi_h)
-    bandw = kw // 2 + 1
-    if plo_w > 0:
-        u_left = _upsample2x_axis(_upsample2x_axis(x[:, :, :bandw], 1), 2)[:, :, :kw - 1]
-        u_left = jnp.pad(u_left, ((0, 0), (0, 0), (plo_w, 0), (0, 0)))
-        left = _conv(u_left, kernel, "VALID")
-        y = y.at[:, mid, :plo_w].set(left)
-    if phi_w > 0:
-        u_right = _upsample2x_axis(_upsample2x_axis(x[:, :, -bandw:], 1), 2)[:, :, -(kw - 1):]
-        u_right = jnp.pad(u_right, ((0, 0), (0, 0), (0, phi_w), (0, 0)))
-        right = _conv(u_right, kernel, "VALID")
-        y = y.at[:, mid, 2 * s - phi_w:].set(right)
+        rows.append(_conv(jnp.pad(u_bot, zpad_w), kernel, "VALID"))
+    y = jnp.concatenate(rows, axis=1)
 
     if bias is not None:
         y = y + bias
