@@ -38,6 +38,12 @@ try:
 except Exception:
     pass
 
+# Opt-in fast-compile mode for local iteration: trades XLA optimization
+# effort for compile time (the suite's dominant cost). Off by default until
+# measured safe for the numerics-pinning tests.
+if os.environ.get("SPLIT_TPU_TEST_FAST_COMPILE") == "1":
+    jax.config.update("jax_disable_most_optimizations", True)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
