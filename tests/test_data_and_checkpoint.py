@@ -57,6 +57,38 @@ def test_synthetic_svhn_deterministic():
     assert a[0].dtype == np.uint8 and a[0].shape == (8, 32, 32, 3)
 
 
+def test_synthetic_svhn_digits_clusterable():
+    """The 'digits' flavor (quality-run stand-in for real SVHN): SVHN
+    shapes/label conventions, deterministic, and the 10 classes are visually
+    distinct (per-class mean images well separated — the property the blobs
+    flavor lacks, BASELINE.md §Quality)."""
+    from split_vae_tpu.data.svhn import synthetic_svhn_digits
+
+    a = synthetic_svhn_digits(n_train=200, n_test=40, seed=3)
+    b = synthetic_svhn_digits(n_train=200, n_test=40, seed=3)
+    np.testing.assert_array_equal(a[0], b[0])
+    x, y = a[0], a[1]
+    assert x.dtype == np.uint8 and x.shape == (200, 32, 32, 3)
+    assert y.min() >= 1 and y.max() <= 10  # .mat-style 1..10
+    means = np.stack([x[y == c].mean(axis=0) for c in range(1, 11)])
+    gray = means.mean(axis=-1)  # color is random; shape carries the class
+    dists = [np.abs(gray[i] - gray[j]).mean()
+             for i in range(10) for j in range(i + 1, 10)]
+    assert min(dists) > 2.0, min(dists)
+
+
+def test_synthetic_sprites_contrast_knob():
+    """sprite_min_color raises the sprite color floor (anti-collapse ablation
+    knob); foreground pixels obey color >= min_color scaled by the 0.7..1.0
+    vertical shading, and default 60 is unchanged."""
+    hi = synthetic_sprites(16, 0, min_color=140.0)
+    fg = hi[hi > 0]
+    # each drawn channel value = color * shade, color >= 140, shade >= 0.7
+    assert fg.min() >= 140.0 * 0.7 - 1e-3
+    np.testing.assert_array_equal(synthetic_sprites(8, 1),
+                                  synthetic_sprites(8, 1, min_color=60.0))
+
+
 def test_multicub_sample_counts_and_range():
     cub = MultiCUB(synthetic_sprites(16, 0), seed=0)
     imgs, counts = cub.create_dataset(8, digits=(0, 5), size=48, bg="solid_fixed", test=True)
