@@ -136,12 +136,13 @@ def test_reparameterize_statistics(key):
     assert abs(float(z.std()) - 0.5) < 0.01
 
 
-def test_safe_log_grad_total_under_jit():
+def test_safe_log_grad_total_under_jit(xla_full_optimizations):
     """Regression: XLA folds '(1 - pred) + 1e-8' to '(1+1e-8) - pred' whose
     constant rounds to exactly 1.0f, so at pred==1 the safe_log cotangent was
     select(bad,0,g)/0 = NaN under jit (poisoned all SPAIR grads once z_pres
     saturated). safe_log's custom JVP must stay finite for any input, jitted
-    or eager."""
+    or eager. (Needs full XLA optimizations — the folding is the bug trigger —
+    hence the fixture; the suite default is fast-compile.)"""
     from split_vae_tpu.ops.distributions import bernoulli_xent, safe_log
 
     f = lambda p: bernoulli_xent(jnp.float32(0.5), p)

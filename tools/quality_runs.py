@@ -30,7 +30,8 @@ def run_spair(steps: int, batch: int, out_dir: str, model: str = "lg_spair",
               lr: float = 1e-4, dataset: str = "cub_ckb_rot_6",
               z_what_beta: float = 0.5, z_pres_anneal_step: float = 10_000.0,
               sprite_contrast: float = 60.0, seed: int = 0,
-              z_bg_beta: float = None, bg_latent_size: int = None):
+              z_bg_beta: float = None, bg_latent_size: int = None,
+              resume: str = None):
     """z_what_beta / z_pres_anneal_step / sprite_contrast are the
     anti-collapse ablation knobs for the Multi-Bird-Hard config (round-2
     finding: the canonical run collapses to zero detected objects at the
@@ -58,7 +59,7 @@ def run_spair(steps: int, batch: int, out_dir: str, model: str = "lg_spair",
     if bg_latent_size is None:
         bg_latent_size = 64 if lg else 4
     config = SpairConfig(
-        seed=seed,
+        seed=seed, resume=resume,
         model=model, dataset=dataset, batch_size=batch, learning_rate=lr,
         latent_size=64, bg_latent_size=bg_latent_size, local_latent_size=64,
         z_bg_beta=z_bg_beta, z_what_beta=z_what_beta,
@@ -121,6 +122,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--z_bg_beta", type=float, default=None)
     ap.add_argument("--bg_latent_size", type=int, default=None)
+    ap.add_argument("--resume", default=None,
+                    help="checkpoint dir to resume from (spair only)")
     args = ap.parse_args()
     if args.workload == "spair":
         run_dir, keys = run_spair(args.steps or 20_000, args.batch or 256,
@@ -130,7 +133,8 @@ def main():
                                   z_pres_anneal_step=args.z_pres_anneal_step,
                                   sprite_contrast=args.sprite_contrast,
                                   seed=args.seed, z_bg_beta=args.z_bg_beta,
-                                  bg_latent_size=args.bg_latent_size)
+                                  bg_latent_size=args.bg_latent_size,
+                                  resume=args.resume)
     else:
         run_dir, keys = run_gmvae(args.steps or 30_000, args.batch or 64,
                                   args.out_dir, style=args.style)
