@@ -168,7 +168,49 @@ def _emit(metric, value, baseline):
     }), flush=True)
 
 
+def _tpu_preflight(max_wait_secs: float = 2700.0) -> bool:
+    """The remote-relay TPU dies/wedges for tens of minutes at a time (its
+    relay process is infra-managed and can be gone entirely) — a dead relay
+    makes the first dispatch hang FOREVER, so probe in a bounded subprocess
+    and retry within a recovery-scale window instead of hanging the driver."""
+    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return True
+    code = "import jax, jax.numpy as jnp; print((jnp.ones((8,8))@jnp.ones((8,8))).sum())"
+    deadline = time.time() + max_wait_secs
+    while time.time() < deadline:
+        try:
+            r = subprocess.run([sys.executable, "-c", code], timeout=120,
+                               capture_output=True, text=True)
+            if r.returncode == 0 and "512" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print("# tpu probe failed; relay down — retrying in 240s", file=sys.stderr)
+        time.sleep(240)
+    return False
+
+
+def _arm_watchdog(secs: float = 3600.0) -> None:
+    """If the relay wedges mid-bench, a dispatch hangs forever; keep whatever
+    JSON lines were already emitted and die instead of stalling the driver."""
+    import threading
+
+    def _fire():
+        print(f"# bench watchdog fired after {secs:.0f}s — relay wedged mid-run",
+              file=sys.stderr, flush=True)
+        os._exit(3)
+
+    t = threading.Timer(secs, _fire)
+    t.daemon = True
+    t.start()
+
+
 def main():
+    if not _tpu_preflight():
+        print("# tpu relay unreachable for 45 min; no measurement possible",
+              file=sys.stderr)
+        sys.exit(1)
+    _arm_watchdog()
     only_headline = "--headline" in sys.argv
     if not only_headline:
         try:
