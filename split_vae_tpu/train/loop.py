@@ -174,11 +174,13 @@ def train_vae(config, max_steps: Optional[int] = None):
         timer.add(config.batch_size)
         step = int(step) + 1
 
-        if config.log_every and step % config.log_every == 0                 and step % config.eval_interval != 0:
+        if config.log_every and step % config.log_every == 0                 and not (config.eval_interval
+                         and step % config.eval_interval == 0):
             r = train_metrics.result()
             print(f"[step {step}] total_loss: {r.get('total_loss', float('nan')):.4f}")
 
-        if step % config.eval_interval == 0 or step == total_steps:
+        if ((config.eval_interval and step % config.eval_interval == 0)
+                or step == total_steps):
             rate = timer.rate(sync_value=m["total_loss"])
             tm = train_metrics.result()
             tm["imgs_per_sec"] = rate
@@ -221,7 +223,9 @@ def train_vae(config, max_steps: Optional[int] = None):
 
             timer.reset()
 
-        if step % config.checkpoint_interval == 0 or step == total_steps:
+        if ((config.checkpoint_interval
+             and step % config.checkpoint_interval == 0)
+                or step == total_steps):
             ckpt.save_checkpoint(ckpt_dir, state)
 
     ckpt.save_weights(os.path.join("models", os.path.basename(run_dir) + ".msgpack"),
@@ -315,11 +319,13 @@ def train_spair(config, max_steps: Optional[int] = None):
         timer.add(config.batch_size)
         step = int(step) + 1
 
-        if config.log_every and step % config.log_every == 0                 and step % config.eval_interval != 0:
+        if config.log_every and step % config.log_every == 0                 and not (config.eval_interval
+                         and step % config.eval_interval == 0):
             r = train_metrics.result()
             print(f"[step {step}] total_loss: {r.get('total_loss', float('nan')):.4f}")
 
-        if step % config.eval_interval == 0 or step == total_steps:
+        if ((config.eval_interval and step % config.eval_interval == 0)
+                or step == total_steps):
             rate = timer.rate(sync_value=m["total_loss"])
             tm = train_metrics.result()
             tm["imgs_per_sec"] = rate
@@ -374,7 +380,9 @@ def train_spair(config, max_steps: Optional[int] = None):
 
             timer.reset()
 
-        if step % config.checkpoint_interval == 0 or step == total_steps:
+        if ((config.checkpoint_interval
+             and step % config.checkpoint_interval == 0)
+                or step == total_steps):
             ckpt.save_checkpoint(ckpt_dir, state)
 
     ckpt.save_weights(os.path.join("models", os.path.basename(run_dir) + ".msgpack"),

@@ -32,7 +32,11 @@ def _chdir(tmp_path, monkeypatch):
 def test_train_vae_lgvae_end_to_end(tmp_path):
     from split_vae_tpu.train.loop import train_vae
 
-    config = _vae_cfg(tmp_path, model="lgvae", no_label=True, beta=1.0)
+    # checkpoint_interval=0 = "final checkpoint only" (regression: the cadence
+    # check used to divide by zero); the checkpoint assertions below still
+    # hold via the step == total_steps save.
+    config = _vae_cfg(tmp_path, model="lgvae", no_label=True, beta=1.0,
+                      checkpoint_interval=0)
     state, run_dir = train_vae(config)
     assert int(state.step) >= 10
     # metrics.jsonl + artifacts + checkpoint exist
@@ -106,7 +110,8 @@ def test_train_lg_spair_end_to_end(tmp_path):
         output_dir=str(tmp_path / "out"), batch_size=8, eval_interval=4,
         training_steps=4, model="lg_spair", latent_size=8, bg_latent_size=4,
         local_latent_size=8, split_z_l=True, concat_z_what=True,
-        dense_bg=True, dense_local=True, z_pres_anneal_step=10.0)
+        dense_bg=True, dense_local=True, z_pres_anneal_step=10.0,
+        checkpoint_interval=0)  # regression: 0 used to ZeroDivisionError
     state, run_dir = train_spair(config)
     assert glob.glob(os.path.join(run_dir, "x_hat_reconstrcution_test_it_*.png"))
 
