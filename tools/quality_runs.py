@@ -66,7 +66,7 @@ def run_spair(steps: int, batch: int, out_dir: str, model: str = "lg_spair",
         z_pres_anneal_step=z_pres_anneal_step, patch_size=8, split_z_l=lg,
         concat_z_what=lg, dense_local=lg, dense_bg=lg,
         synthetic_data=True, training_steps=steps, eval_interval=1000,
-        checkpoint_interval=10_000, output_dir=out_dir, log_every=500)
+        checkpoint_interval=5_000, output_dir=out_dir, log_every=500)
     state, run_dir = loop.train_spair(config)
     return run_dir, ("test0/MAE test", "test0/count_acc", "test1/MAE test",
                      "test1/count_acc")
@@ -83,7 +83,7 @@ def run_gmvae(steps: int, batch: int, out_dir: str, style: str = "blobs"):
         model="lggmvae", dataset="svhn", beta=40.0, alpha=40.0, y_size=30,
         patch_size=4, batch_size=batch, synthetic_data=True,
         synthetic_size=8192, synthetic_style=style,
-        training_steps=steps, eval_interval=2000, checkpoint_interval=10_000,
+        training_steps=steps, eval_interval=2000, checkpoint_interval=5_000,
         output_dir=out_dir, log_every=500)
     state, run_dir = loop.train_vae(config)
     return run_dir, ("test/classifier_cluster_acc",)
