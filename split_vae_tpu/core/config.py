@@ -26,8 +26,8 @@ class BaseConfig:
     seed: int = 0
     data_dir: str = "data"
     output_dir: str = "output"
-    eval_interval: Optional[int] = None  # default differs per workload
-    checkpoint_interval: int = 10000
+    eval_interval: Optional[int] = None  # default differs per workload; 0 disables
+    checkpoint_interval: int = 10000  # 0 = final checkpoint only
     resume: Optional[str] = None  # checkpoint dir to resume from
     num_data_shards: int = 0  # 0 => all local devices on the 'data' mesh axis
     num_model_shards: int = 1
