@@ -71,13 +71,16 @@ def newest_metrics_mtime(started_after: float) -> float:
     return best
 
 
-def run_with_watchdog(name: str, cmd: list, stall_secs: float = 900.0) -> bool:
+def run_with_watchdog(name: str, cmd: list, stall_secs: float = 2400.0) -> bool:
     """Run cmd; kill it if its run dir's metrics stop advancing (relay wedge).
-    Startup (cache build + compile) gets a longer grace period."""
+    Startup (cache build + compile) gets a longer grace period. Thresholds are
+    generous: concurrent host CPU load slows TPU steps ~50x through the relay,
+    and killing a build mid-flight is itself a relay-wedge trigger — only kill
+    when the run is unambiguously dead."""
     t0 = time.time()
     log(f"starting {name}: {' '.join(cmd)}")
     proc = subprocess.Popen(cmd, cwd=REPO)
-    grace = 1500.0  # data-cache build + remote compile + init
+    grace = 3600.0  # data-cache build + remote compile + init
     while True:
         time.sleep(60)
         rc = proc.poll()
