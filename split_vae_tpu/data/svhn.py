@@ -105,7 +105,7 @@ def synthetic_svhn_digits(n_train: int = 512, n_test: int = 128, seed: int = 0):
     Unlike the ``blobs`` stand-in (whose sinusoid classes alias — LGGMVae
     cluster accuracy plateaus near chance on it, BASELINE.md), each class here
     is a visually distinct glyph: 5x3 segment bitmaps upscaled to 25x15,
-    jittered +-3 px, bright foreground on a dark background with random
+    jittered +-1 px, bright foreground on a dark background with random
     colors. Shape, not color, carries the class — exactly the structure the
     GMVAE's Gumbel-softmax clustering objective (vae/model.py:170-249) is
     meant to discover. Offline demonstration data only; never the default.
@@ -117,11 +117,16 @@ def synthetic_svhn_digits(n_train: int = 512, n_test: int = 128, seed: int = 0):
         imgs = np.zeros((n, 32, 32, 3), np.float32)
         for i in range(n):
             glyph = np.kron(_glyph(labels[i]), np.ones((5, 5), np.float32))
-            bg = rng.uniform(0.0, 0.3, 3)
-            fg = rng.uniform(0.6, 1.0, 3)
+            # Nuisance ranges are deliberately tight: measured with
+            # 30-means-on-pixels + linear assignment, wider color ranges /
+            # +-3 px jitter cap even the PIXEL-space ceiling at ~0.44 (and the
+            # GMVAE at ~0.28); these values give a ~0.6 pixel ceiling while
+            # keeping random colors and position so shape must carry the class.
+            bg = rng.uniform(0.0, 0.15, 3)
+            fg = rng.uniform(0.75, 1.0, 3)
             imgs[i] = bg[None, None]
-            oy = 3 + rng.randint(-3, 4)
-            ox = 8 + rng.randint(-3, 4)
+            oy = 3 + rng.randint(-1, 2)
+            ox = 8 + rng.randint(-1, 2)
             m = glyph[..., None]
             region = imgs[i, oy:oy + 25, ox:ox + 15]
             imgs[i, oy:oy + 25, ox:ox + 15] = region * (1 - m) + m * fg[None, None]
