@@ -151,26 +151,37 @@ def check_kylberg(data_dir: str) -> bool:
     return True
 
 
+# The five canonical BASELINE.md configs, 1:1 with the reference README
+# commands (README.md:28-107 in /root/reference).
 COMMANDS = {
     "svhn": [
-        "# BASELINE config 1-2: LGVae / LGGMVae on SVHN",
-        "python -m split_vae_tpu.cli.vae_main --dataset svhn --model lgvae "
-        "--training_steps 100000 --batch_size 64",
-        "python -m split_vae_tpu.cli.vae_main --dataset svhn --model lggmvae "
-        "--y_size 30 --beta 40 --alpha 40 --training_steps 100000",
+        "# BASELINE config 1: SPLIT-VAE, SVHN recon/style-transfer",
+        "python -m split_vae_tpu.cli.vae_main --beta 1 --patch_size 1",
+        "# BASELINE config 3: SPLIT-GMVAE, SVHN clustering (Table 2)",
+        "python -m split_vae_tpu.cli.vae_main --model lggmvae --beta 40 "
+        "--alpha 40 --y_size 30 --patch_size 4 --dataset svhn "
+        "--training_steps 3000000",
     ],
     "celeba": [
-        "# BASELINE config 3: LGVae on CelebA64 (the headline VAE bench)",
-        "python -m split_vae_tpu.cli.vae_main --dataset celeba --model lgvae "
-        "-no_label --training_steps 100000 --batch_size 64",
+        "# BASELINE config 2: SPLIT-VAE, CelebA64 (the headline VAE bench)",
+        "python -m split_vae_tpu.cli.vae_main --beta 30 --patch_size 8 "
+        "--dataset celeba64 -no_label",
+        "# BASELINE config 4: SPLIT-GMVAE, CelebA64 cluster generation",
+        "python -m split_vae_tpu.cli.vae_main --model lggmvae --beta 120 "
+        "--alpha 40 --y_size 30 --patch_size 8 --dataset celeba64 "
+        "-no_label -viz --training_steps 3000000",
     ],
     "cub": [
-        "# BASELINE configs 4-5: BG-SPAIR / LG-SPAIR on MultiCUB",
-        "python -m split_vae_tpu.cli.spair_main --model bg_spair "
-        "--dataset cub_solid_fixed --training_steps 200000 --batch_size 32",
-        "python -m split_vae_tpu.cli.spair_main --model lg_spair "
-        "--dataset cub_ckb_rot_6 -split_z_l -concat_z_what -dense_bg "
-        "-dense_local --training_steps 200000 --batch_size 32",
+        "# BASELINE config 5: SPLIT-SPAIR, Multi-Bird-Hard",
+        "python -m split_vae_tpu.cli.spair_main --dataset cub_ckb_rot_6 "
+        "--z_bg_beta 1 --patch_size 8 --latent_size 64 --bg_latent_size 64 "
+        "--local_latent_size 64 --model lg_spair -split_z_l "
+        "--z_what_beta 0.5 -concat_z_what -dense_local -dense_bg "
+        "--training_steps 200000",
+        "# Multi-Bird (Table 1): BG-SPAIR on solid backgrounds",
+        "python -m split_vae_tpu.cli.spair_main --dataset cub_solid_fixed "
+        "--z_bg_beta 10 --latent_size 64 --bg_latent_size 4 "
+        "--model bg_spair -dense_bg --training_steps 200000",
     ],
 }
 
