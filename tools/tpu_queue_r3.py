@@ -71,7 +71,7 @@ def newest_metrics_mtime(started_after: float) -> float:
     return best
 
 
-def run_with_watchdog(name: str, cmd: list, stall_secs: float = 2400.0) -> bool:
+def run_with_watchdog(name: str, cmd: list, stall_secs: float = 4000.0) -> bool:
     """Run cmd; kill it if its run dir's metrics stop advancing (relay wedge).
     Startup (cache build + compile) gets a longer grace period. Thresholds are
     generous: concurrent host CPU load slows TPU steps ~50x through the relay,
