@@ -159,6 +159,9 @@ def _cpu_baseline() -> float:
     return rate
 
 
+_WATCHDOG = None
+
+
 def _emit(metric, value, baseline):
     print(json.dumps({
         "metric": metric,
@@ -166,18 +169,34 @@ def _emit(metric, value, baseline):
         "unit": "imgs/sec",
         "vs_baseline": round(value / baseline, 3),
     }), flush=True)
+    if _WATCHDOG is not None:
+        _WATCHDOG.reset()  # progress happened — only genuine stalls should fire
 
 
-def _tpu_preflight(max_wait_secs: float = 2700.0) -> bool:
+def _emit_error(reason: str) -> None:
+    """Machine-readable failure: the driver parses the LAST JSON line, so a
+    dead relay must still produce one (round-3 rc=124 left `parsed: null`)."""
+    print(json.dumps({
+        "metric": "splitvae_celeba64_train_throughput",
+        "value": None,
+        "unit": "imgs/sec",
+        "vs_baseline": None,
+        "error": reason,
+    }), flush=True)
+
+
+def _tpu_preflight(max_wait_secs: float = 420.0) -> bool:
     """The remote-relay TPU dies/wedges for tens of minutes at a time (its
     relay process is infra-managed and can be gone entirely) — a dead relay
-    makes the first dispatch hang FOREVER, so probe in a bounded subprocess
-    and retry within a recovery-scale window instead of hanging the driver."""
+    makes the first dispatch hang FOREVER, so probe in a bounded subprocess.
+    The window is kept well under the driver's budget: a relay that is down
+    now typically stays down for 30-45 min, so waiting longer only converts
+    a machine-readable failure into a driver timeout (round-3 post-mortem)."""
     if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
         return True
     code = "import jax, jax.numpy as jnp; print((jnp.ones((8,8))@jnp.ones((8,8))).sum())"
     deadline = time.time() + max_wait_secs
-    while time.time() < deadline:
+    while True:
         try:
             r = subprocess.run([sys.executable, "-c", code], timeout=120,
                                capture_output=True, text=True)
@@ -185,32 +204,47 @@ def _tpu_preflight(max_wait_secs: float = 2700.0) -> bool:
                 return True
         except subprocess.TimeoutExpired:
             pass
-        print("# tpu probe failed; relay down — retrying in 240s", file=sys.stderr)
-        time.sleep(240)
-    return False
+        if time.time() + 150 > deadline:
+            return False
+        print("# tpu probe failed; relay down — retrying in 120s", file=sys.stderr)
+        time.sleep(120)
 
 
-def _arm_watchdog(secs: float = 3600.0) -> None:
-    """If the relay wedges mid-bench, a dispatch hangs forever; keep whatever
-    JSON lines were already emitted and die instead of stalling the driver."""
-    import threading
+class _Watchdog:
+    """Hard-kill on STALL, not on slow-but-progressing runs: the timer is
+    reset every time a metric line is emitted, so only a wedge between two
+    results (relay death mid-dispatch hangs forever) fires it."""
 
-    def _fire():
-        print(f"# bench watchdog fired after {secs:.0f}s — relay wedged mid-run",
-              file=sys.stderr, flush=True)
+    def __init__(self, secs: float):
+        import threading
+
+        self._secs = secs
+        self._threading = threading
+        self._timer = None
+        self.reset()
+
+    def _fire(self):
+        print(f"# bench watchdog fired after {self._secs:.0f}s without a new "
+              "metric — relay wedged mid-run", file=sys.stderr, flush=True)
+        _emit_error("relay_wedged_mid_run")
         os._exit(3)
 
-    t = threading.Timer(secs, _fire)
-    t.daemon = True
-    t.start()
+    def reset(self):
+        if self._timer is not None:
+            self._timer.cancel()
+        self._timer = self._threading.Timer(self._secs, self._fire)
+        self._timer.daemon = True
+        self._timer.start()
 
 
 def main():
+    global _WATCHDOG
     if not _tpu_preflight():
-        print("# tpu relay unreachable for 45 min; no measurement possible",
+        print("# tpu relay unreachable within the preflight window",
               file=sys.stderr)
-        sys.exit(1)
-    _arm_watchdog()
+        _emit_error("relay_down")
+        return
+    _WATCHDOG = _Watchdog(1500.0)
     only_headline = "--headline" in sys.argv
     if not only_headline:
         try:

