@@ -330,7 +330,7 @@ class SpairEncoder(nn.Module):
         # (Pallas unpacked) / 3.3 (Pallas packed) — XLA pipelines the per-cell
         # matmuls across the whole [B*K] batch better than a per-item Pallas
         # grid, and the [B,K,h,W,C] intermediate it materializes is cheap at
-        # these shapes. The Pallas crop kernels (ops/pallas/crop_fused.py,
+        # these shapes. The Pallas crop kernels (tools/pallas_research/crop_fused.py,
         # crop_packed.py) are kept as tested alternatives for larger canvases
         # where the intermediate dominates.
         all_glimpses, _ = stn_crop(

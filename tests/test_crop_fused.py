@@ -4,7 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from split_vae_tpu.ops.pallas.crop_fused import fused_stn_crop
+from tools.pallas_research.crop_fused import fused_stn_crop
 from split_vae_tpu.ops.stn import stn_crop
 
 B, K, OS, S, C = 2, 16, 32, 48, 3

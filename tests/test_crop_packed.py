@@ -4,8 +4,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from split_vae_tpu.ops.pallas.crop_fused import fused_stn_crop_apply
-from split_vae_tpu.ops.pallas.crop_packed import (
+from tools.pallas_research.crop_fused import fused_stn_crop_apply
+from tools.pallas_research.crop_packed import (
     crop_packing_supported, fused_stn_crop_packed)
 from split_vae_tpu.ops import stn
 

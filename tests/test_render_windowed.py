@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from split_vae_tpu.ops.pallas.render_fused import fused_paste_render
-from split_vae_tpu.ops.pallas.render_windowed import (
+from tools.pallas_research.render_windowed import (
     WINDOW_ROWS, compute_window_starts, fused_paste_render_windowed,
     windowing_supported)
 from split_vae_tpu.ops.stn import paste_interp_weights_ys

@@ -172,8 +172,8 @@ def profile_spair(batch):
     report("packed paste+render fwd+bwd", lambda: timeit(ppg, (objs, wy, wx, zp, wd, bg)))
 
     # crop kernels: unpacked vs packed, fwd and fwd+bwd (6-channel LG input)
-    from split_vae_tpu.ops.pallas.crop_fused import fused_stn_crop_apply
-    from split_vae_tpu.ops.pallas.crop_packed import fused_stn_crop_packed
+    from tools.pallas_research.crop_fused import fused_stn_crop_apply
+    from tools.pallas_research.crop_packed import fused_stn_crop_packed
     from split_vae_tpu.ops import stn as stn_mod
 
     sx, sy, tx, ty = stn_mod.zwhere_to_params(zw)
