@@ -118,7 +118,11 @@ def run_bench(name: str, cmd: list, timeout: float = 9000.0) -> bool:
 
 def main() -> None:
     os.makedirs(os.path.join(REPO, OUT_DIR), exist_ok=True)
-    for name, cmd, kind in TASKS:
+    selected = sys.argv[1:]
+    tasks = [t for t in TASKS if not selected or t[0] in selected]
+    if selected:
+        log(f"running selected tasks: {[t[0] for t in tasks]}")
+    for name, cmd, kind in tasks:
         for attempt in (1, 2):
             wait_for_tpu()
             time.sleep(30)  # settle gap (see tpu_queue_r3 note)
