@@ -85,6 +85,14 @@ def _migrate_opt_state(raw):
     return raw
 
 
+def _migrate_raw(raw):
+    """Migration is scoped to the ``opt_state`` subtree: a params/batch_stats
+    dict with a coincidentally identical key set must never be rewritten."""
+    if isinstance(raw, dict) and "opt_state" in raw:
+        raw = dict(raw, opt_state=_migrate_opt_state(raw["opt_state"]))
+    return raw
+
+
 def restore_checkpoint(path: str, state: TrainState) -> TrainState:
     """Restore into a template state (shapes/treedef must match)."""
     if os.path.isdir(path):
@@ -94,7 +102,7 @@ def restore_checkpoint(path: str, state: TrainState) -> TrainState:
         path = found
     with open(path, "rb") as f:
         raw = flax.serialization.msgpack_restore(f.read())
-    raw = _migrate_opt_state(raw)
+    raw = _migrate_raw(raw)
     target = {
         "step": state.step,
         "params": state.params,

@@ -79,6 +79,9 @@ def create_mesh(num_data: int = 0, num_model: int = 1, devices=None) -> Mesh:
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+_ambient_record = None  # the set_mesh record for the mesh WE installed
+
+
 def activate_mesh(mesh: Mesh) -> Mesh:
     """Install ``mesh`` as JAX's ambient mesh for this thread.
 
@@ -93,9 +96,19 @@ def activate_mesh(mesh: Mesh) -> Mesh:
     there, and an ambient mesh context changes the traced/compiled program
     (SPMD pass in the pipeline) even when it is semantically a no-op —
     single-chip training should stay byte-identical to the unmeshed trace.
+    Any mesh previously installed by this function IS cleared first, so a
+    single-device train/eval after a sharded run in the same process traces
+    without the stale multi-device mesh (its fused render would otherwise
+    shard_map over devices the batch is not placed on).
     """
+    global _ambient_record
+    if _ambient_record is not None:
+        # Restore the pre-install ambient state before installing anew;
+        # set_mesh records prev context, so exiting undoes OUR install only.
+        _ambient_record.__exit__(None, None, None)
+        _ambient_record = None
     if mesh.devices.size > 1:
-        jax.sharding.set_mesh(mesh)
+        _ambient_record = jax.sharding.set_mesh(mesh)
     return mesh
 
 

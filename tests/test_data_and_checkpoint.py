@@ -214,3 +214,22 @@ def test_checkpoint_retention(tmp_path):
     names = sorted(os.listdir(str(tmp_path)))
     assert names == ["checkpoint_3.msgpack", "checkpoint_4.msgpack", "checkpoint_5.msgpack"]
     assert ckpt.latest_checkpoint(str(tmp_path)).endswith("checkpoint_5.msgpack")
+
+
+def test_opt_state_migration_scoped_to_opt_state_subtree():
+    """A params (or batch_stats) dict whose key set coincidentally equals the
+    legacy ``ApplyIfFiniteState`` field names must NOT be rewritten on
+    restore — only the opt_state subtree is migrated (ADVICE round 3)."""
+    decoy = {"notfinite_count": 1, "last_finite": 2,
+             "total_notfinite": 3, "inner_state": {"x": 4}}
+    raw = {
+        "step": 0,
+        "params": {"decoy_layer": dict(decoy)},
+        "opt_state": {"0": dict(decoy)},
+    }
+    out = ckpt._migrate_raw(raw)
+    # params untouched, byte-identical structure
+    assert out["params"]["decoy_layer"] == decoy
+    # opt_state migrated onto the SkipNonFiniteState layout
+    assert out["opt_state"]["0"] == {
+        "total_notfinite": 3, "inner_state": {"x": 4}}

@@ -287,3 +287,27 @@ def test_entry_compiles():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert out.x_mean.shape == (8, 64, 64, 3)
+
+
+def test_activate_mesh_single_device_clears_stale_ambient_mesh():
+    """After a sharded run installs an 8-device ambient mesh, activating a
+    1-device mesh in the same process must CLEAR it — otherwise a later
+    single-device train/eval traces its fused render under the stale
+    multi-device mesh (ADVICE round 3)."""
+    from split_vae_tpu.parallel.mesh import activate_mesh, ambient_data_axis_size
+
+    before = ambient_data_axis_size()
+    try:
+        activate_mesh(create_mesh())  # 8-device (data=8, model=1)
+        assert ambient_data_axis_size() == 8
+        activate_mesh(create_mesh(num_data=1, devices=jax.devices()[:1]))
+        assert ambient_data_axis_size() == 1
+        # Re-install then clear again: the record must not leak across calls.
+        activate_mesh(create_mesh(num_data=4, num_model=2))
+        assert ambient_data_axis_size() == 4
+        activate_mesh(create_mesh(num_data=1, devices=jax.devices()[:1]))
+        assert ambient_data_axis_size() == 1
+    finally:
+        # leave the process as we found it for the rest of the suite
+        activate_mesh(create_mesh(num_data=1, devices=jax.devices()[:1]))
+    assert ambient_data_axis_size() == max(1, before)

@@ -109,11 +109,8 @@ def _child(process_id: int, port: int) -> None:
     print(f"MHOST done pid={process_id} fingerprint={fp:.6f}", flush=True)
 
 
-def main() -> int:
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-
+def _launch(port: int):
+    """Launch the NUM_PROCESSES children against ``port``; return (ok, outputs)."""
     env = dict(os.environ)
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                         + f" --xla_force_host_platform_device_count={LOCAL_DEVICES}").strip()
@@ -139,6 +136,23 @@ def main() -> int:
             ok = False
             print(f"--- process {pid} FAILED (rc={proc.returncode}) ---")
             print(out[-3000:])
+    return ok, outputs
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def main() -> int:
+    # Port selection is bind-0/close/rebind — a TOCTOU window in which another
+    # process can grab the port and flake the coordinator handshake. One full
+    # retry on a fresh port keeps that a non-event in CI.
+    ok, outputs = _launch(_free_port())
+    if not ok:
+        print("--- retrying once on a fresh coordinator port ---")
+        ok, outputs = _launch(_free_port())
     if not ok:
         return 1
 
