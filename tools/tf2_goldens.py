@@ -285,6 +285,38 @@ def _resolve(obj, path: str):
     return obj
 
 
+def _patch_keras3_compat(tf):
+    """The reference targets tensorflow 2.0's Keras; Keras 3 (bundled with
+    modern TF) forbids passing non-tensors positionally into layer calls,
+    which the reference does everywhere (`self.encoder(x, training)`,
+    spair/spair.py:91). Keras keeps a per-layer escape hatch
+    (`_allow_non_tensor_positional_args`), but Layer.__init__ pins it False
+    as an INSTANCE attribute — shadow it with a class-level data descriptor
+    (always-True getter, no-op setter) to restore the 2.0 convention."""
+    try:
+        from keras.src.layers.layer import Layer as _KLayer
+    except ImportError:  # legacy tf.keras 2.x: the old convention already holds
+        return
+    _KLayer._allow_non_tensor_positional_args = property(
+        lambda self: True, lambda self, value: None)
+
+    # Keras 3 then re-injects `training` as a KEYWORD into the inner call
+    # even when it was already supplied positionally -> "got multiple values
+    # for argument 'training'". Detect the positional case (bound in
+    # user_arguments_dict but absent from the pre-injection kwargs) and
+    # drop the duplicate injection; context propagation is unaffected.
+    orig_resolve = _KLayer._resolve_and_populate_arg
+
+    def _resolve_no_dup(self, arg_name, call_spec, call_context, kwargs):
+        passed_positionally = (arg_name in call_spec.user_arguments_dict
+                               and arg_name not in kwargs)
+        orig_resolve(self, arg_name, call_spec, call_context, kwargs)
+        if passed_positionally:
+            kwargs.pop(arg_name, None)
+
+    _KLayer._resolve_and_populate_arg = _resolve_no_dup
+
+
 def _patch_tf_determinism(tf):
     """normals -> 0, uniforms -> midpoint, GaussianNoise -> identity."""
     tf.random.normal = lambda shape, mean=0.0, stddev=1.0, dtype=tf.float32, **kw: (
@@ -409,10 +441,32 @@ def verify_vae(goldens_dir, reference):
 def verify_spair(goldens_dir, reference):
     import tensorflow as tf
 
+    # Both reference subdirs ship flat modules named utils/trainer/
+    # visualizer/data/model/classifier (each main.py runs from its own dir,
+    # vae/main.py:1-2). verify_vae has already imported the vae-side ones
+    # under those bare names; purge them so `import trainer` / spair.py's
+    # `from utils import *` resolve to the spair-side files, not the cache.
+    for name in ("utils", "trainer", "visualizer", "data", "model",
+                 "classifier", "spair"):
+        sys.modules.pop(name, None)
     sys.path.insert(0, os.path.join(reference, "spair"))
     import spair as ref_spair
     import trainer as ref_trainer
+    import utils as ref_utils
     from utils import dotdict
+
+    # STN.build precomputes its sampling grid as TF tensors
+    # (spair/utils.py:99-116). Keras 3 builds layers inside a scratch
+    # FuncGraph (compute_output_spec), so those tensors die with the scratch
+    # graph and the real eager call can't capture them. Lift the build to
+    # eager scope — the TF-2.0-era behavior the reference was written for.
+    _orig_stn_build = ref_utils.STN.build
+
+    def _eager_stn_build(self, input_shape):
+        with tf.init_scope():
+            return _orig_stn_build(self, input_shape)
+
+    ref_utils.STN.build = _eager_stn_build
 
     flat = dict(np.load(os.path.join(goldens_dir, "lg_spair_goldens.npz")))
     meta = json.load(open(os.path.join(goldens_dir, "lg_spair_meta.json")))
@@ -503,9 +557,30 @@ def verify_spair(goldens_dir, reference):
     return rep.dump()
 
 
+def _stub_unused_reference_deps():
+    """spair/trainer.py:2 imports tensorflow_probability but never uses it
+    (tfp's only real use is augmentation.py:35, not exercised by the
+    goldens). On TF2 machines without tfp, satisfy the import with a stub
+    so the reference trainer's loss helpers can load unmodified."""
+    import types
+
+    # wget: vae/data.py:7 imports it for the one-time SVHN download
+    # (vae/data.py:30-40), pulled in transitively by vae/trainer.py:9 ->
+    # classifier -> data. The loss helpers never download anything.
+    for mod in ("tensorflow_probability", "wget"):
+        if mod in sys.modules:
+            continue
+        try:
+            __import__(mod)
+        except ImportError:
+            sys.modules[mod] = types.ModuleType(mod)
+
+
 def run_verify(goldens_dir: str, reference: str) -> int:
     import tensorflow as tf
 
+    _stub_unused_reference_deps()
+    _patch_keras3_compat(tf)
     _patch_tf_determinism(tf)
     fails = verify_vae(goldens_dir, reference)
     fails += verify_spair(goldens_dir, reference)
