@@ -298,3 +298,76 @@ def resize2x_conv(x: Array, kernel: Array, bias: Array | None = None) -> Array:
     if bias is not None:
         y = y + bias
     return y
+
+
+# --------------------------------------------------------------------------
+# Mixed-VJP variants: fused forward + materialized-chain backward.
+#
+# The fused forwards above win because they never materialize the upsampled
+# intermediate, but their *autodiff* backward differentiates through the
+# edge-pad / ring-correction / lhs-dilation graph, which XLA's TPU backend
+# schedules worse than the plain chain's backward at wide mid layers
+# (round-3 A/B, BASELINE.md). Since ``resize2x_conv[_any]`` and
+# ``conv(SAME)(upsample2x(x))`` are the SAME mathematical map, either
+# backward is an exact gradient for either forward — so pair the fast
+# forward with the chain backward via ``jax.custom_vjp``. The backward is
+# hand-transposed (``jax.linear_transpose`` of the two linear factors), so
+# no wasted forward conv is run: it recomputes U(x) (bandwidth only),
+# then dx = U^T(conv_x^T(g)), dK = conv_K^T(g | U(x)), db = sum(g).
+# VERDICT r3 #6; reference chain: spair/spair.py:355-364, vae/model.py:158-169.
+# --------------------------------------------------------------------------
+
+
+def _upsample2x(x: Array) -> Array:
+    """Half-pixel bilinear 2x in both spatial axes of NHWC.
+
+    ``jax.image.resize(..., "bilinear")`` at an exact 2x ratio IS the
+    half-pixel 3-tap stencil with edge clamp (same map as
+    ``_upsample2x_axis`` twice), but lowers to XLA's native resize pattern —
+    the slice/stack formulation's transpose measured 3x slower on TPU.
+    """
+    n, s0, s1, c = x.shape
+    return jax.image.resize(x, (n, 2 * s0, 2 * s1, c), "bilinear")
+
+
+def _materialized_bwd(res, g):
+    x, kernel = res
+    up = _upsample2x(x)
+    dup = jax.linear_transpose(lambda u: _conv(u, kernel, "SAME"), up)(g)[0]
+    dx = jax.linear_transpose(_upsample2x, x)(dup)[0]
+    dk = jax.linear_transpose(lambda k: _conv(up, k, "SAME"), kernel)(g)[0]
+    return dx, dk
+
+
+@jax.custom_vjp
+def _resize2x_conv_mixed_core(x: Array, kernel: Array) -> Array:
+    return resize2x_conv(x, kernel, None)
+
+
+_resize2x_conv_mixed_core.defvjp(
+    lambda x, kernel: (resize2x_conv(x, kernel, None), (x, kernel)),
+    _materialized_bwd)
+
+
+@jax.custom_vjp
+def _resize2x_conv_any_mixed_core(x: Array, kernel: Array) -> Array:
+    return resize2x_conv_any(x, kernel, None)
+
+
+_resize2x_conv_any_mixed_core.defvjp(
+    lambda x, kernel: (resize2x_conv_any(x, kernel, None), (x, kernel)),
+    _materialized_bwd)
+
+
+def resize2x_conv_mixed(x: Array, kernel: Array,
+                        bias: Array | None = None) -> Array:
+    """``resize2x_conv`` forward with the materialized chain's backward."""
+    y = _resize2x_conv_mixed_core(x, kernel)
+    return y if bias is None else y + bias
+
+
+def resize2x_conv_any_mixed(x: Array, kernel: Array,
+                            bias: Array | None = None) -> Array:
+    """``resize2x_conv_any`` forward with the materialized chain's backward."""
+    y = _resize2x_conv_any_mixed_core(x, kernel)
+    return y if bias is None else y + bias

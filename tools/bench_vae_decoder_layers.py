@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from split_vae_tpu.nn.pixel_shuffle import resize2x_conv_any
+from split_vae_tpu.nn.pixel_shuffle import (resize2x_conv_any,
+                                            resize2x_conv_any_mixed)
 
 LAYERS = [
     # (name, s_in, cin, cout, k)
@@ -71,6 +72,9 @@ def main():
             def fwd_fused(x, k_, b_):
                 return resize2x_conv_any(x, k_, b_)
 
+            def fwd_mixed(x, k_, b_):
+                return resize2x_conv_any_mixed(x, k_, b_)
+
             def fb(f):
                 def g(x, k_, b_):
                     def loss(xx, kk, bb):
@@ -81,11 +85,14 @@ def main():
 
             r_f = timeit_loop(fwd_ref, (x, kernel, bias))
             u_f = timeit_loop(fwd_fused, (x, kernel, bias))
+            m_f = timeit_loop(fwd_mixed, (x, kernel, bias))
             r_fb = timeit_loop(fb(fwd_ref), (x, kernel, bias))
             u_fb = timeit_loop(fb(fwd_fused), (x, kernel, bias))
+            m_fb = timeit_loop(fb(fwd_mixed), (x, kernel, bias))
             print(f"{np.dtype(dtype).name:9s} {name:22s} "
-                  f"fwd ref {r_f:6.3f} fused {u_f:6.3f} ms | "
-                  f"fwd+bwd ref {r_fb:6.3f} fused {u_fb:6.3f} ms", flush=True)
+                  f"fwd ref {r_f:6.3f} fused {u_f:6.3f} mixed {m_f:6.3f} ms | "
+                  f"fwd+bwd ref {r_fb:6.3f} fused {u_fb:6.3f} "
+                  f"mixed {m_fb:6.3f} ms", flush=True)
 
 
 if __name__ == "__main__":
