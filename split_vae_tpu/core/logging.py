@@ -17,11 +17,23 @@ from typing import Dict, Optional
 
 
 def make_run_dir(output_dir: str) -> str:
-    """output/<YYYYmmdd-HHMMSS>/ like the reference (vae/trainer.py:73-80)."""
-    run_name = datetime.now().strftime("%Y%m%d-%H%M%S")
-    run_dir = os.path.join(output_dir, run_name)
-    os.makedirs(run_dir, exist_ok=True)
-    return run_dir
+    """output/<YYYYmmdd-HHMMSS>/ like the reference (vae/trainer.py:73-80).
+
+    Names have second resolution; back-to-back runs in one process (--runs,
+    fast tests) can start within the same second, and sharing a run dir would
+    interleave their metrics.jsonl and overwrite artifacts. A ``-N`` suffix
+    dedupes; creation is exclusive so concurrent processes cannot collide.
+    """
+    base = datetime.now().strftime("%Y%m%d-%H%M%S")
+    for i in range(1, 1000):
+        run_name = base if i == 1 else f"{base}-{i}"
+        run_dir = os.path.join(output_dir, run_name)
+        try:
+            os.makedirs(run_dir)
+        except FileExistsError:
+            continue
+        return run_dir
+    raise RuntimeError(f"could not allocate a run dir under {output_dir}")
 
 
 class RunLogger:
