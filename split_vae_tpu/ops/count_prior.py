@@ -24,6 +24,7 @@ def z_pres_count_kl(
     z_pres_pre_sigmoid: Array,
     prior_prob: Array,
     temperature: float,
+    unroll: int = 1,
 ) -> Array:
     """Count-prior KL for z_pres, batch-meaned and summed over cells.
 
@@ -77,6 +78,10 @@ def z_pres_count_kl(
 
         return (count_distribution, count_so_far), obj_kl
 
-    (_, _), obj_kls = jax.lax.scan(body, (count_distribution, count_so_far), (pre, logits, pres, idx))
+    # ``unroll`` trades scan dispatch latency for code size (the reference
+    # unrolls all 16 iterations); measured A/B in tools/bench_count_prior.py.
+    (_, _), obj_kls = jax.lax.scan(
+        body, (count_distribution, count_so_far), (pre, logits, pres, idx),
+        unroll=unroll)
     # obj_kls: [K, B, 1] -> mean over batch of sum over cells (spair/trainer.py:94).
     return jnp.mean(jnp.sum(obj_kls[..., 0], axis=0))

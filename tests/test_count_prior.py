@@ -81,3 +81,21 @@ def test_count_kl_jits_and_differentiates(rng):
     g = jax.grad(lambda l: z_pres_count_kl(pres, l, pre, jnp.float32(0.9), 0.8))(logits)
     assert np.isfinite(np.array(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_count_kl_unroll_equivalent(rng):
+    """unroll only changes scheduling, never math (incl. gradients)."""
+    b, h, w = 2, 4, 4
+    logits = jnp.array(rng.randn(b, h, w, 1).astype(np.float32))
+    pre = jnp.array(rng.randn(b, h, w, 1).astype(np.float32))
+    pres = jax.nn.sigmoid(pre)
+
+    def f(l, p, unroll):
+        return z_pres_count_kl(pres, l, p, jnp.float32(0.7), 0.8, unroll=unroll)
+
+    base = float(f(logits, pre, 1))
+    gbase = jax.grad(f)(logits, pre, 1)
+    for unroll in (4, 16):
+        np.testing.assert_allclose(float(f(logits, pre, unroll)), base, rtol=1e-6)
+        np.testing.assert_allclose(np.array(jax.grad(f)(logits, pre, unroll)),
+                                   np.array(gbase), rtol=1e-5)

@@ -311,3 +311,35 @@ def test_activate_mesh_single_device_clears_stale_ambient_mesh():
         # leave the process as we found it for the rest of the suite
         activate_mesh(create_mesh(num_data=1, devices=jax.devices()[:1]))
     assert ambient_data_axis_size() == max(1, before)
+
+
+def test_lggmvae_step_matches_single_device():
+    """GMVAE family under DP: Gumbel-softmax + dropout draws must be
+    sharding-invariant (threefry is element-deterministic regardless of the
+    SPMD partitioning), so sharded == single-device holds exactly."""
+    from split_vae_tpu.models.vae import LGGMVae
+
+    config = VaeConfig(model="lggmvae", batch_size=16, patch_size=2,
+                       beta=2.0, alpha=1.0, y_size=6, tau=0.4)
+    model = LGGMVae(8, 8, (16, 16), y_size=6, tau=0.4)
+    step = make_vae_train_step(config)
+    batch_np = np.random.RandomState(0).randint(0, 255, (16, 16, 16, 3), np.uint8)
+
+    state1 = create_train_state(model, jnp.zeros((16, 16, 16, 6)),
+                                optax.adam(1e-4), seed=3,
+                                training_kwargs={"training": True})
+    state1, m1 = step(state1, jnp.asarray(batch_np))
+
+    mesh = create_mesh(num_data=8)
+    state2 = create_train_state(model, jnp.zeros((16, 16, 16, 6)),
+                                optax.adam(1e-4), seed=3,
+                                training_kwargs={"training": True})
+    state2 = shard_state(state2, mesh)
+    batch = jax.device_put(batch_np, batch_sharding(mesh))
+    state2, m2 = step(state2, batch)
+
+    np.testing.assert_allclose(float(m1["total_loss"]), float(m2["total_loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(state1.params),
+                    jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

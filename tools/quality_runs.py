@@ -72,7 +72,8 @@ def run_spair(steps: int, batch: int, out_dir: str, model: str = "lg_spair",
                      "test1/count_acc")
 
 
-def run_gmvae(steps: int, batch: int, out_dir: str, style: str = "blobs"):
+def run_gmvae(steps: int, batch: int, out_dir: str, style: str = "blobs",
+              resume: str = None):
     from split_vae_tpu.core.config import VaeConfig
     from split_vae_tpu.train import loop
 
@@ -82,7 +83,7 @@ def run_gmvae(steps: int, batch: int, out_dir: str, style: str = "blobs"):
     config = VaeConfig(
         model="lggmvae", dataset="svhn", beta=40.0, alpha=40.0, y_size=30,
         patch_size=4, batch_size=batch, synthetic_data=True,
-        synthetic_size=8192, synthetic_style=style,
+        synthetic_size=8192, synthetic_style=style, resume=resume,
         training_steps=steps, eval_interval=2000, checkpoint_interval=5_000,
         output_dir=out_dir, log_every=500)
     state, run_dir = loop.train_vae(config)
@@ -123,7 +124,7 @@ def main():
     ap.add_argument("--z_bg_beta", type=float, default=None)
     ap.add_argument("--bg_latent_size", type=int, default=None)
     ap.add_argument("--resume", default=None,
-                    help="checkpoint dir to resume from (spair only)")
+                    help="checkpoint dir to resume from")
     args = ap.parse_args()
     if args.workload == "spair":
         run_dir, keys = run_spair(args.steps or 20_000, args.batch or 256,
@@ -137,7 +138,8 @@ def main():
                                   resume=args.resume)
     else:
         run_dir, keys = run_gmvae(args.steps or 30_000, args.batch or 64,
-                                  args.out_dir, style=args.style)
+                                  args.out_dir, style=args.style,
+                                  resume=args.resume)
     summarize(run_dir, keys)
 
 

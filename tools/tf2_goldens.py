@@ -10,7 +10,8 @@ any machine that has tensorflow (this environment has none and zero egress):
   TF2 machine:    python tools/tf2_goldens.py verify --goldens goldens \
                       --reference /root/reference
 
-``export`` dumps, for one VAE config (LGVae, the vae/main.py default) and one
+``export`` dumps, for one plain-VAE config (LGVae, the vae/main.py default),
+the GMVAE family (LGGMVae + GMVae at the canonical clustering knobs), and one
 SPAIR config (lg_spair, the canonical split_z_l run):
   - the exact float input batch,
   - every parameter under this framework's names (layouts already match
@@ -132,6 +133,65 @@ def export_vae(out_dir: str) -> None:
           f"({len(payload)} arrays)")
 
 
+def export_lggmvae(out_dir: str) -> None:
+    """GMVAE-family goldens (LGGMVae + GMVae): the Gumbel-softmax cluster
+    posterior and y-conditional z-prior path (vae/model.py:48-140,221-320).
+
+    Determinism: training=False on both sides (the reference's seven declared
+    dropouts reduce to identity), normals -> 0 (z = mean), uniforms -> 0.5
+    (the Gumbel noise -log(-log U) becomes a constant vector, which cancels
+    in the softmax on both sides)."""
+    import jax
+    import jax.numpy as jnp
+
+    from split_vae_tpu.models.vae import GMVae, LGGMVae
+    from split_vae_tpu.train.losses import gmvae_loss, lggmvae_loss
+
+    g = l = 128                      # vae/main.py:17-18 defaults
+    y_size, tau = 30, 0.4            # vae/main.py:28-29 defaults
+    beta, alpha = 40.0, 40.0         # canonical config #3 (README.md:57-63)
+    hw = (32, 32)
+    rng = np.random.RandomState(11)
+    images = (rng.rand(8, hw[0], hw[1], 6).astype(np.float32) * 2.0) - 1.0
+
+    cases = (
+        ("lggmvae", LGGMVae(g, l, hw, y_size=y_size, tau=tau),
+         lambda out: lggmvae_loss(out, jnp.asarray(images), beta, alpha, y_size),
+         ("x_mean", "x_log_scale", "z_mean_x", "z_sig_x", "x_hat_mean",
+          "x_hat_log_scale", "z_mean_x_hat", "z_sig_x_hat", "y", "y_logits",
+          "z_prior_mean", "z_prior_sig")),
+        ("gmvae", GMVae(g, hw, y_size=y_size, tau=tau),
+         lambda out: gmvae_loss(out, jnp.asarray(images), beta, alpha, y_size),
+         ("x_mean", "x_log_scale", "z_mean_x", "z_sig_x", "y", "y_logits",
+          "z_prior_mean", "z_prior_sig")),
+    )
+    for name, model, loss_fn, fwd_names in cases:
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+            jnp.asarray(images))
+        with _deterministic_jax():
+            out = model.apply(variables, jnp.asarray(images), False,
+                              rngs={"sample": jax.random.PRNGKey(2)})
+            total, metrics = loss_fn(out)
+
+        payload = {"input": images}
+        payload.update({f"p:{k}": v
+                        for k, v in _flatten(variables["params"]).items()})
+        for fname in fwd_names:
+            payload[f"f:{fname}"] = np.asarray(getattr(out, fname))
+        for k, v in metrics.items():
+            payload[f"l:{k}"] = np.asarray(v)
+        meta = {"model": name, "beta": beta, "alpha": alpha, "y_size": y_size,
+                "tau": tau, "global_latent_dims": g, "local_latent_dims": l,
+                "image_hw": hw}
+        np.savez_compressed(os.path.join(out_dir, f"{name}_goldens.npz"),
+                            **payload)
+        with open(os.path.join(out_dir, f"{name}_meta.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+        print(f"exported {name} goldens: loss={float(total):.4f} "
+              f"({len(payload)} arrays)")
+
+
 def export_spair(out_dir: str) -> None:
     import jax
     import jax.numpy as jnp
@@ -195,6 +255,7 @@ def run_export(out_dir: str) -> None:
     jax.config.update("jax_platforms", "cpu")
     os.makedirs(out_dir, exist_ok=True)
     export_vae(out_dir)
+    export_lggmvae(out_dir)
     export_spair(out_dir)
     print(f"goldens written to {out_dir}/ — on a TF2 machine run:\n"
           f"  python tools/tf2_goldens.py verify --goldens {out_dir} "
@@ -229,6 +290,35 @@ _VAE_LAYER_MAP = {
     "decoder_x_hat/Conv_2": "decoder_x_hat.d4",
     "decoder_x_hat/Conv_3": "decoder_x_hat.d5",
 }
+
+# GMVAE encoder (vae/model.py:48-79): named attributes on our side, Keras
+# Sequential sub-layers / named Dense layers on the reference side. Dropout
+# layers carry no weights and are skipped.
+_GM_ENCODER_MAP = {
+    "encoder_x/h_conv1": "encoder_x.h_block.layers[0]",
+    "encoder_x/h_conv2": "encoder_x.h_block.layers[1]",
+    "encoder_x/h_conv3": "encoder_x.h_block.layers[2]",
+    "encoder_x/y_dense1": "encoder_x.y_block.layers[0]",
+    "encoder_x/y_dense2": "encoder_x.y_block.layers[2]",
+    "encoder_x/y_head": "encoder_x.y_dense",
+    "encoder_x/h_top_dense": "encoder_x.h_top_dense",
+    "encoder_x/z_prior_mean_head": "encoder_x.z_prior_mean",
+    "encoder_x/z_prior_sig_head": "encoder_x.z_prior_sig",
+    "encoder_x/e1": "encoder_x.e1",
+    "encoder_x/z_mean_head": "encoder_x.z_mean",
+    "encoder_x/z_sig_head": "encoder_x.z_sig",
+}
+
+# LGGMVae = gm global encoder + LGVae's local encoder and both decoders
+# (vae/model.py:221-234).
+_LGGMVAE_LAYER_MAP = dict(_GM_ENCODER_MAP)
+_LGGMVAE_LAYER_MAP.update({k: v for k, v in _VAE_LAYER_MAP.items()
+                           if k.split("/")[0] != "encoder_x"})
+
+# GMVae = gm encoder + single decoder (vae/model.py:277-286).
+_GMVAE_LAYER_MAP = dict(_GM_ENCODER_MAP)
+_GMVAE_LAYER_MAP.update({k: v for k, v in _VAE_LAYER_MAP.items()
+                         if k.split("/")[0] == "decoder_x"})
 
 # lg_spair with dense_bg/dense_local (spair/spair.py:52-106 attribute names)
 _SPAIR_LAYER_MAP = {
@@ -438,6 +528,95 @@ def verify_vae(goldens_dir, reference):
     return rep.dump()
 
 
+def verify_gm(goldens_dir, reference, which):
+    """Executed-TF2 parity for the GMVAE family (``which`` in
+    {"lggmvae", "gmvae"}): Gumbel-softmax cluster posterior, y-conditional
+    z prior, and the alpha/beta loss branches (vae/model.py:221-320,
+    vae/trainer.py:146-195)."""
+    import tensorflow as tf
+
+    # Standalone module hygiene (both reference subdirs ship flat modules
+    # named model/trainer/...; make sure we resolve the vae-side ones
+    # regardless of verifier ordering).
+    for name in ("utils", "trainer", "visualizer", "data", "model",
+                 "classifier", "spair"):
+        sys.modules.pop(name, None)
+    sys.path.insert(0, os.path.join(reference, "vae"))
+    import model as ref_model
+    import trainer as ref_trainer
+
+    flat = dict(np.load(os.path.join(goldens_dir, f"{which}_goldens.npz")))
+    meta = json.load(open(os.path.join(goldens_dir, f"{which}_meta.json")))
+    hw = meta["image_hw"]
+    x = tf.constant(flat["input"])
+    if which == "lggmvae":
+        m = ref_model.LGGMVae(
+            meta["global_latent_dims"], meta["local_latent_dims"],
+            image_shape=(None, hw[0], hw[1], 6),
+            y_size=meta["y_size"], tau=meta["tau"])
+        layer_map = _LGGMVAE_LAYER_MAP
+    else:
+        m = ref_model.GMVae(
+            meta["global_latent_dims"], image_shape=(None, hw[0], hw[1], 6),
+            y_size=meta["y_size"], tau=meta["tau"])
+        layer_map = _GMVAE_LAYER_MAP
+    m(x, training=False)  # build variables
+    _inject(m, flat, layer_map)
+
+    rep = _Report(f"{which} forward")
+    if which == "lggmvae":
+        (x_mean, x_log_scale, z_x, z_mean_x, z_sig_x, z_x_hat, x_hat_mean,
+         x_hat_log_scale, z_mean_x_hat, z_sig_x_hat, y, y_logits,
+         z_prior_mean, z_prior_sig) = m(x, training=False)
+        fwd = (("y_logits", y_logits), ("y", y),
+               ("z_prior_mean", z_prior_mean), ("z_prior_sig", z_prior_sig),
+               ("z_mean_x", z_mean_x), ("z_sig_x", z_sig_x),
+               ("z_mean_x_hat", z_mean_x_hat), ("z_sig_x_hat", z_sig_x_hat),
+               ("x_mean", x_mean), ("x_log_scale", x_log_scale),
+               ("x_hat_mean", x_hat_mean), ("x_hat_log_scale", x_hat_log_scale))
+    else:
+        (x_mean, x_log_scale, z_x, z_mean_x, z_sig_x, y, y_logits,
+         z_prior_mean, z_prior_sig) = m(x, training=False)
+        fwd = (("y_logits", y_logits), ("y", y),
+               ("z_prior_mean", z_prior_mean), ("z_prior_sig", z_prior_sig),
+               ("z_mean_x", z_mean_x), ("z_sig_x", z_sig_x),
+               ("x_mean", x_mean), ("x_log_scale", x_log_scale))
+    for name, val in fwd:
+        rep.tensor(name, val, flat[f"f:{name}"])
+
+    # Losses exactly as vae/trainer.py:146-164 / :175-188 compose them.
+    beta, alpha, y_size = meta["beta"], meta["alpha"], meta["y_size"]
+    xx = x[:, :, :, :3]
+    x_recon_loss = tf.reduce_mean(tf.reduce_sum(
+        ref_trainer.discretised_logistic_loss(xx, x_mean, x_log_scale),
+        axis=[1, 2, 3]))
+    x_kl_loss = ref_trainer.kl_divergence_two_gauss(
+        z_mean_x, z_sig_x, z_prior_mean, z_prior_sig)
+    py = tf.nn.softmax(y_logits, axis=1)
+    y_kl_loss = tf.reduce_mean(tf.reduce_sum(
+        py * (tf.math.log(py + 1e-8) - tf.math.log(1.0 / y_size)), axis=1))
+    losses = {"x_recon_loss": x_recon_loss, "x_kl_loss": x_kl_loss,
+              "y_kl_loss": y_kl_loss}
+    if which == "lggmvae":
+        x_hat = x[:, :, :, 3:]
+        x_hat_recon_loss = tf.reduce_mean(tf.reduce_sum(
+            ref_trainer.discretised_logistic_loss(
+                x_hat, x_hat_mean, x_hat_log_scale), axis=[1, 2, 3]))
+        x_hat_kl_loss = ref_trainer.kl_divergence_two_gauss(
+            z_mean_x_hat, z_sig_x_hat, 0., 1.)
+        losses["x_hat_recon_loss"] = x_hat_recon_loss
+        losses["x_hat_kl_loss"] = x_hat_kl_loss
+        losses["total_loss"] = (x_recon_loss + x_hat_recon_loss
+                                + beta * (x_kl_loss + x_hat_kl_loss)
+                                + alpha * y_kl_loss)
+    else:
+        losses["total_loss"] = (x_recon_loss + beta * x_kl_loss
+                                + alpha * y_kl_loss)
+    for name, val in losses.items():
+        rep.loss(name, val, flat[f"l:{name}"])
+    return rep.dump()
+
+
 def verify_spair(goldens_dir, reference):
     import tensorflow as tf
 
@@ -583,6 +762,8 @@ def run_verify(goldens_dir: str, reference: str) -> int:
     _patch_keras3_compat(tf)
     _patch_tf_determinism(tf)
     fails = verify_vae(goldens_dir, reference)
+    fails += verify_gm(goldens_dir, reference, "lggmvae")
+    fails += verify_gm(goldens_dir, reference, "gmvae")
     fails += verify_spair(goldens_dir, reference)
     if fails:
         print(f"PARITY: FAIL ({fails} tensors/losses out of tolerance)")
