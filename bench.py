@@ -243,7 +243,10 @@ def main():
         print("# tpu relay unreachable within the preflight window",
               file=sys.stderr)
         _emit_error("relay_down")
-        return
+        # Nonzero exit so rc-gated callers (tools/tpu_queue_r4.run_bench)
+        # see the failure and retry; the driver reads the structured line
+        # above regardless of exit code.
+        sys.exit(1)
     _WATCHDOG = _Watchdog(1500.0)
     only_headline = "--headline" in sys.argv
     if not only_headline:

@@ -17,6 +17,7 @@ within a slice).
 
 from __future__ import annotations
 
+import threading
 from typing import Optional
 
 import jax
@@ -79,7 +80,7 @@ def create_mesh(num_data: int = 0, num_model: int = 1, devices=None) -> Mesh:
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
-_ambient_record = None  # the set_mesh record for the mesh WE installed
+_ambient_tls = threading.local()  # per-thread set_mesh record for the mesh WE installed
 
 
 def activate_mesh(mesh: Mesh) -> Mesh:
@@ -101,14 +102,17 @@ def activate_mesh(mesh: Mesh) -> Mesh:
     without the stale multi-device mesh (its fused render would otherwise
     shard_map over devices the batch is not placed on).
     """
-    global _ambient_record
-    if _ambient_record is not None:
+    record = getattr(_ambient_tls, "record", None)
+    if record is not None:
         # Restore the pre-install ambient state before installing anew;
         # set_mesh records prev context, so exiting undoes OUR install only.
-        _ambient_record.__exit__(None, None, None)
-        _ambient_record = None
+        # The record is thread-local because set_mesh mutates jax's
+        # thread-local device context — exiting another thread's record
+        # would clobber the wrong thread's mesh.
+        record.__exit__(None, None, None)
+        _ambient_tls.record = None
     if mesh.devices.size > 1:
-        _ambient_record = jax.sharding.set_mesh(mesh)
+        _ambient_tls.record = jax.sharding.set_mesh(mesh)
     return mesh
 
 
