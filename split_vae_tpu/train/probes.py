@@ -8,6 +8,20 @@ Reference quirk preserved deliberately: the recon-accuracy probe feeds the
 *un-rescaled* decoder mean (range [-1, 1]-ish, vae/trainer.py:214) to the
 classifier while the resampled-latent probes use the rescaled [0, 1] decode
 (vae/trainer.py:219,224) — asymmetric, but it is the published behavior.
+
+Measured consequence of that quirk (digits stand-in, round 5): the classifier
+is trained on [-1, 1] inputs, and merely rescaling REAL test images to [0, 1]
+drops its accuracy 1.00 -> 0.24 — so the parity `classifier_random_z_*_acc`
+columns are dominated by the input-range mismatch, not by disentanglement.
+Redesign: each probe therefore also emits a `probe_*_rangefix` companion that
+feeds the raw decoder mean (classifier-distribution inputs, rescale=False),
+plus — for the GM variant, whose reference z_g probe resamples WITHIN the
+inferred cluster (vae/trainer.py:261) and so is expected to stay high — a
+`probe_swapped_y_z_g_acc_rangefix` cross-cluster probe (decode with a batch
+neighbour's y-prior draw). The SPLIT signature is then directly visible:
+z_l-resampled accuracy tracks recon accuracy while cross-cluster z_g drops to
+chance, and the swapped-y decode predicts the NEIGHBOUR's class at recon
+fidelity (probe_swapped_y_transfer_acc_rangefix).
 """
 
 from __future__ import annotations
@@ -59,17 +73,63 @@ def make_vae_probe_step(model, classifier: Classifier, gm: bool) -> Callable:
         pred_zg = classifier.apply(cls_vars, x_r_zg)
         zg_acc = jnp.mean((jnp.argmax(pred_zg, -1) == y_true).astype(jnp.float32))
 
-        return {
+        def _acc(x):
+            return jnp.mean(
+                (jnp.argmax(classifier.apply(cls_vars, x), -1) == y_true
+                 ).astype(jnp.float32))
+
+        # Redesign: range-corrected companions (rescale=False -> raw decoder
+        # mean, the classifier's training range). See module docstring.
+        x_zl_raw, _ = model.apply({"params": params}, out.z_x, random_z_l,
+                                  method="decode", rescale=False)
+        x_zg_raw, _ = model.apply({"params": params}, random_z_g, out.z_x_hat,
+                                  method="decode", rescale=False)
+        metrics = {
             "classifier_recon_acc": recon_acc,
             "classifier_random_z_l_acc": zl_acc,
             "classifier_random_z_g_acc": zg_acc,
+            "probe_random_z_l_acc_rangefix": _acc(x_zl_raw),
+            "probe_random_z_g_acc_rangefix": _acc(x_zg_raw),
         }
+        if gm:
+            # Cross-cluster z_g: decode with a batch neighbour's y-prior draw
+            # (jnp.roll = static permutation). Chance accuracy vs OWN labels +
+            # recon-level accuracy vs the NEIGHBOUR's labels = the class
+            # lives entirely in the global latent.
+            k_swap = jax.random.fold_in(k_g, 1)
+            swap_mean = jnp.roll(out.z_prior_mean, 1, axis=0)
+            swap_sig = jnp.roll(out.z_prior_sig, 1, axis=0)
+            z_g_swap = swap_mean + jax.random.normal(k_swap, swap_mean.shape) * swap_sig
+            x_swap, _ = model.apply({"params": params}, z_g_swap, out.z_x_hat,
+                                    method="decode", rescale=False)
+            pred_swap = jnp.argmax(classifier.apply(cls_vars, x_swap), -1)
+            metrics["probe_swapped_y_z_g_acc_rangefix"] = jnp.mean(
+                (pred_swap == y_true).astype(jnp.float32))
+            metrics["probe_swapped_y_transfer_acc_rangefix"] = jnp.mean(
+                (pred_swap == jnp.roll(y_true, 1)).astype(jnp.float32))
+        return metrics
 
     return probe
 
 
 def classifier_weights_path(config) -> str:
-    return os.path.join("models", "svhn_classifier_weights.msgpack")
+    """Weights path, keyed by dataset flavor for synthetic runs.
+
+    The reference uses the single fixed path
+    ``models/svhn_classifier_weights.h5`` (vae/trainer.py:81-88) — fine when
+    there is exactly one SVHN. Our offline stand-ins come in flavors
+    (blobs/digits, varying sizes); sharing one path let a blobs-trained
+    classifier silently serve a digits run, which scored 0.034 on the digits
+    test set and zeroed every disentanglement probe for the round-4 300k run.
+    Real-data runs keep the reference-shaped name.
+    """
+    if getattr(config, "synthetic_data", False):
+        style = getattr(config, "synthetic_style", "blobs") or "blobs"
+        size = getattr(config, "synthetic_size", 0) or 512
+        name = f"svhn_classifier_weights_synth_{style}_{size}.msgpack"
+    else:
+        name = "svhn_classifier_weights.msgpack"
+    return os.path.join("models", name)
 
 
 def train_classifier(config, epochs: int = None, verbose: bool = True):
@@ -82,9 +142,16 @@ def train_classifier(config, epochs: int = None, verbose: bool = True):
     batch_size = 32
     import types
 
+    # Propagate every dataset-shaping flag: the probe classifier must be
+    # trained on the SAME distribution as the VAE run it scores. Round-4 bug:
+    # synthetic_style/synthetic_size were dropped here, so digits runs probed
+    # with a blobs-trained classifier (chance on digits; VERDICT.md round 4
+    # Missing #2). Reference contract: one shared SVHN (vae/classifier.py:35).
     cfg = types.SimpleNamespace(
         label=True, synthetic_data=config.synthetic_data,
-        data_dir=config.data_dir, seed=config.seed)
+        data_dir=config.data_dir, seed=config.seed,
+        synthetic_style=getattr(config, "synthetic_style", "blobs"),
+        synthetic_size=getattr(config, "synthetic_size", 0))
     train_ds, test_ds, _ = get_svhn(cfg, extra=False)
     # quirk: concatenate test into train (vae/classifier.py:35)
     import numpy as _np
