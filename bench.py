@@ -266,7 +266,7 @@ def main():
         print("# tpu relay unreachable within the preflight window",
               file=sys.stderr)
         _emit_errors_for_missing("relay_down")
-        # Nonzero exit so rc-gated callers (tools/tpu_queue_r4.run_bench)
+        # Nonzero exit so rc-gated callers (tools/tpu_queue-style callers)
         # see the failure and retry; the driver reads the structured line
         # above regardless of exit code.
         sys.exit(1)
