@@ -208,16 +208,30 @@ def make_spair_eval_step(config, apply_fn) -> Callable:
             pred_count = jnp.sum(
                 jnp.round(jax.nn.sigmoid(out.z_pres_logits)), axis=(1, 2, 3)
             )
-            err = jnp.abs(labels - pred_count)
-            metrics["MAE test"] = jnp.mean(err)
-            # Exact tf.keras mean_absolute_percentage_error semantics
-            # (spair/trainer.py:298): denominator clipped at 1e-7, so
-            # zero-count images contribute err*1e9 — kept for comparability
-            # with reference logs.
-            metrics["MAPE test"] = jnp.mean(
-                err / jnp.maximum(jnp.abs(labels), 1e-7) * 100.0
-            )
-            metrics["count_acc"] = jnp.mean((pred_count == labels).astype(jnp.float32))
+            metrics.update(count_metrics(pred_count, labels))
         return out, metrics, images
 
     return eval_step
+
+
+def count_metrics(pred_count: Array, labels: Array) -> dict:
+    """Object-count eval columns (spair/trainer.py:292-301).
+
+    `MAPE test` keeps exact tf.keras mean_absolute_percentage_error
+    semantics (spair/trainer.py:298): denominator clipped at 1e-7, so
+    zero-count images contribute err*1e9 — preserved for comparability with
+    reference logs. Redesign companion `MAPE_nonzero test` is the same
+    statistic restricted to images whose denominator is real (count > 0);
+    the quirk column reads ~1e9 whenever any batch image has zero objects,
+    which hides all signal.
+    """
+    err = jnp.abs(labels - pred_count)
+    pct = err / jnp.maximum(jnp.abs(labels), 1e-7) * 100.0
+    nonzero = (jnp.abs(labels) > 0).astype(jnp.float32)
+    return {
+        "MAE test": jnp.mean(err),
+        "MAPE test": jnp.mean(pct),
+        "MAPE_nonzero test": (jnp.sum(pct * nonzero)
+                              / jnp.maximum(jnp.sum(nonzero), 1.0)),
+        "count_acc": jnp.mean((pred_count == labels).astype(jnp.float32)),
+    }

@@ -116,6 +116,24 @@ def test_train_lg_spair_end_to_end(tmp_path):
     assert glob.glob(os.path.join(run_dir, "x_hat_reconstrcution_test_it_*.png"))
 
 
+def test_count_metrics_mape_companion():
+    """Quirk MAPE keeps tf.keras 1e-7-clip semantics; the nonzero companion
+    carries the signal the quirk column destroys on zero-count images."""
+    import jax.numpy as jnp
+    from split_vae_tpu.train.steps import count_metrics
+
+    labels = jnp.array([0.0, 2.0, 4.0])
+    pred = jnp.array([1.0, 1.0, 4.0])
+    m = count_metrics(pred, labels)
+    # zero-count image: err 1 / 1e-7 * 100 = 1e9 dominates the quirk mean
+    np.testing.assert_allclose(float(m["MAPE test"]), (1e9 + 50.0 + 0.0) / 3,
+                               rtol=1e-6)
+    # companion: mean over the two nonzero-count images only
+    np.testing.assert_allclose(float(m["MAPE_nonzero test"]), 25.0, rtol=1e-6)
+    np.testing.assert_allclose(float(m["MAE test"]), 2 / 3, rtol=1e-6)
+    np.testing.assert_allclose(float(m["count_acc"]), 1 / 3, rtol=1e-6)
+
+
 def test_vae_probe_step_accuracies(tmp_path):
     """Probe accuracies equal label-match fractions for a fixed-output classifier."""
     import jax

@@ -39,7 +39,10 @@ SERIES = ["#2a78d6", "#eb6834", "#1baf7a"]  # blue, orange, aqua
 # Reference lines per run family: (label, value, only_for_substring)
 CHANCE_FLOOR = 0.10
 DIGITS_PIXEL_CEILING = 0.62  # BASELINE.md: 30-means on raw pixels, digits style
-COLLAPSE_FLOOR = 0.148  # all-zero-counts predictor on the ckb_rot_6 test split
+# All-zero-counts predictor accuracy, measured per SPAIR dataset's synthetic
+# test split — drawn only when the run name identifies the dataset (a floor
+# from one dataset would mislabel another's plot).
+COLLAPSE_FLOORS = {"ckb_rot6": 0.148, "ckb_rot_6": 0.148}
 
 
 def _load(path: str):
@@ -87,7 +90,9 @@ def plot_run(path: str, out_dir: str) -> str | None:
             if xs:
                 ax.plot(xs, ys, color=SERIES[i], linewidth=2, label=label)
         _style_axes(ax, name, "count accuracy")
-        _refline(ax, COLLAPSE_FLOOR, "zero-collapse floor")
+        floor = next((v for k, v in COLLAPSE_FLOORS.items() if k in name), None)
+        if floor is not None:
+            _refline(ax, floor, "zero-collapse floor")
         ax.set_ylim(-0.02, 1.0)
         ax.legend(frameon=False, fontsize=9, labelcolor=INK2, loc="upper left")
     elif any("test/classifier_cluster_acc" in r for r in rows):

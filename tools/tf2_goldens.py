@@ -475,10 +475,31 @@ class _Report:
         return self.fails
 
 
+def _use_reference_subdir(reference, which):
+    """Point bare-module imports at one reference subdir (vae/ or spair/).
+
+    Both subdirs ship flat modules named utils/trainer/visualizer/data/
+    model/classifier (each main.py runs from its own dir, vae/main.py:1-2):
+    purge any previously-imported flat names so they re-resolve against the
+    requested subdir, and insert that subdir on sys.path at most once even
+    across repeated verifier calls.
+    """
+    for name in ("utils", "trainer", "visualizer", "data", "model",
+                 "classifier", "spair"):
+        sys.modules.pop(name, None)
+    path = os.path.join(reference, which)
+    while path in sys.path:
+        sys.path.remove(path)
+    other = os.path.join(reference, "spair" if which == "vae" else "vae")
+    while other in sys.path:
+        sys.path.remove(other)
+    sys.path.insert(0, path)
+
+
 def verify_vae(goldens_dir, reference):
     import tensorflow as tf
 
-    sys.path.insert(0, os.path.join(reference, "vae"))
+    _use_reference_subdir(reference, "vae")
     import model as ref_model  # noqa: the reference's vae/model.py
 
     flat = dict(np.load(os.path.join(goldens_dir, "lgvae_goldens.npz")))
@@ -535,13 +556,7 @@ def verify_gm(goldens_dir, reference, which):
     vae/trainer.py:146-195)."""
     import tensorflow as tf
 
-    # Standalone module hygiene (both reference subdirs ship flat modules
-    # named model/trainer/...; make sure we resolve the vae-side ones
-    # regardless of verifier ordering).
-    for name in ("utils", "trainer", "visualizer", "data", "model",
-                 "classifier", "spair"):
-        sys.modules.pop(name, None)
-    sys.path.insert(0, os.path.join(reference, "vae"))
+    _use_reference_subdir(reference, "vae")
     import model as ref_model
     import trainer as ref_trainer
 
@@ -620,15 +635,7 @@ def verify_gm(goldens_dir, reference, which):
 def verify_spair(goldens_dir, reference):
     import tensorflow as tf
 
-    # Both reference subdirs ship flat modules named utils/trainer/
-    # visualizer/data/model/classifier (each main.py runs from its own dir,
-    # vae/main.py:1-2). verify_vae has already imported the vae-side ones
-    # under those bare names; purge them so `import trainer` / spair.py's
-    # `from utils import *` resolve to the spair-side files, not the cache.
-    for name in ("utils", "trainer", "visualizer", "data", "model",
-                 "classifier", "spair"):
-        sys.modules.pop(name, None)
-    sys.path.insert(0, os.path.join(reference, "spair"))
+    _use_reference_subdir(reference, "spair")
     import spair as ref_spair
     import trainer as ref_trainer
     import utils as ref_utils
