@@ -152,6 +152,16 @@ def train_vae(config, max_steps: Optional[int] = None):
         cls_vars, cls_model = probes_mod.load_or_train_classifier(config)
         test_acc = probes_mod.evaluate_classifier(cls_vars, cls_model, test_ds)
         print(f"Classifier test acc: {test_acc:.4f}")
+        # Persist the sanity accuracy and refuse to trust a broken probe
+        # quietly: a frozen classifier near chance on REAL test images makes
+        # every probe column meaningless (this exact failure silently zeroed
+        # the round-4 300k digits run's probes — see train/probes.py).
+        logger.log(int(state.step), {"classifier_test_acc": float(test_acc)},
+                   prefix="meta/")
+        if test_acc < 0.5:
+            print("WARNING: probe classifier is near chance on real test "
+                  "images; classifier_* probe metrics will be unreliable "
+                  "(wrong dataset flavor or undertrained probe).")
         if not isinstance(model, GMVae):
             probe_step = probes_mod.make_vae_probe_step(
                 model, cls_model, gm=isinstance(model, LGGMVae))

@@ -73,21 +73,41 @@ def run_spair(steps: int, batch: int, out_dir: str, model: str = "lg_spair",
 
 
 def run_gmvae(steps: int, batch: int, out_dir: str, style: str = "blobs",
-              resume: str = None):
+              resume: str = None, model: str = "lggmvae"):
     from split_vae_tpu.core.config import VaeConfig
     from split_vae_tpu.train import loop
 
     # Larger synthetic SVHN so the 30-way clustering has data to cluster
     # (synthetic_size=8192 -> 1024 held-out test images; the cluster-accuracy
     # linear assignment needs more samples than clusters to be meaningful).
-    config = VaeConfig(
-        model="lggmvae", dataset="svhn", beta=40.0, alpha=40.0, y_size=30,
-        patch_size=4, batch_size=batch, synthetic_data=True,
-        synthetic_size=8192, synthetic_style=style, resume=resume,
-        training_steps=steps, eval_interval=2000, checkpoint_interval=5_000,
-        output_dir=out_dir, log_every=500)
+    # model="lgvae" runs the canonical SVHN SPLIT-VAE knobs instead
+    # (--beta 1 --patch_size 1, vae/main.py defaults per README Fig. 4):
+    # its z_g probe resamples from N(0,1) UNCONDITIONALLY
+    # (vae/trainer.py:223), so the full textbook signature
+    # (z_l-resampled high, z_g-resampled chance) shows up as a curve.
+    if model == "lgvae":
+        config = VaeConfig(
+            model="lgvae", dataset="svhn", beta=1.0, patch_size=1,
+            batch_size=batch, synthetic_data=True,
+            synthetic_size=8192, synthetic_style=style, resume=resume,
+            training_steps=steps, eval_interval=2000,
+            checkpoint_interval=5_000, output_dir=out_dir, log_every=500)
+        keys = ("test/classifier_recon_acc",
+                "test/probe_random_z_l_acc_rangefix",
+                "test/probe_random_z_g_acc_rangefix")
+    else:
+        config = VaeConfig(
+            model="lggmvae", dataset="svhn", beta=40.0, alpha=40.0, y_size=30,
+            patch_size=4, batch_size=batch, synthetic_data=True,
+            synthetic_size=8192, synthetic_style=style, resume=resume,
+            training_steps=steps, eval_interval=2000,
+            checkpoint_interval=5_000, output_dir=out_dir, log_every=500)
+        keys = ("test/classifier_cluster_acc",
+                "test/classifier_recon_acc",
+                "test/probe_random_z_l_acc_rangefix",
+                "test/probe_swapped_y_z_g_acc_rangefix")
     state, run_dir = loop.train_vae(config)
-    return run_dir, ("test/classifier_cluster_acc",)
+    return run_dir, keys
 
 
 def summarize(run_dir: str, keys):
@@ -139,7 +159,9 @@ def main():
     else:
         run_dir, keys = run_gmvae(args.steps or 30_000, args.batch or 64,
                                   args.out_dir, style=args.style,
-                                  resume=args.resume)
+                                  resume=args.resume, model=args.model
+                                  if args.model in ("lgvae", "lggmvae")
+                                  else "lggmvae")
     summarize(run_dir, keys)
 
 

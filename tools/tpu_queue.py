@@ -63,16 +63,21 @@ ROUNDS = {
     "r5": {
         "out_dir": "output/quality_r5",
         "tasks": [
+            # Ordered cheapest-evidence-first so a relay outage mid-round
+            # still leaves the highest-value curves on disk.
+            # Textbook SPLIT signature as a CURVE (VERDICT r4 #3): the non-GM
+            # LGVae's z_g probe resamples from N(0,1) unconditionally
+            # (vae/trainer.py:223), so probe_random_z_g_acc_rangefix should
+            # fall to chance while probe_random_z_l_acc_rangefix tracks the
+            # recon probe. ~30 min at B=64.
+            ("lgvae_digits_probe_100k",
+             _gmvae("--model", "lgvae", "--style", "digits",
+                    "--steps", "100000"), True),
             # VERDICT r4 #4: the VERBATIM canonical Multi-Bird-Hard config
             # (reference README.md:105-107) at its full 200k budget — settles
             # whether its early collapse is terminal or an annealing-horizon
             # artifact. quality_runs.py spair defaults ARE this config.
             ("canonical5_200k", _spair("--steps", "200000"), True),
-            # VERDICT r4 #3: fresh digits clustering run with the FIXED probe
-            # classifier (train/probes.py round-5 fix) to produce the full
-            # disentanglement curve (recon/z_l/z_g/swapped-y probe columns).
-            ("gmvae_digits_probe_300k",
-             _gmvae("--style", "digits", "--steps", "300000"), True),
             # VERDICT r4 #4 diagnosis: constrained background + the
             # z_what_beta=0.1 rescue knob at 200k — does unseen-bg count-acc
             # hold instead of collapsing (cfg5_bgconstr decayed 0.43 -> 0.09;
@@ -80,6 +85,11 @@ ROUNDS = {
             ("cfg5_bgconstr_zwb01_200k",
              _spair("--z_bg_beta", "10", "--bg_latent_size", "4",
                     "--z_what_beta", "0.1", "--steps", "200000"), True),
+            # VERDICT r4 #3: fresh digits clustering run with the FIXED probe
+            # classifier (train/probes.py round-5 fix) to produce the full
+            # disentanglement curve (recon/z_l/z_g/swapped-y probe columns).
+            ("gmvae_digits_probe_300k",
+             _gmvae("--style", "digits", "--steps", "300000"), True),
         ],
     },
 }
