@@ -10,6 +10,12 @@ Reads every ``docs/quality/*.metrics.jsonl`` and writes one chart per run to
   vs step, with the 0.10 chance floor and, for the `digits` generator, the
   measured 0.62 pixel-space k-means ceiling (BASELINE.md "clustering
   groundwork") as reference lines.
+- Runs carrying disentanglement-probe columns additionally get a
+  ``<name>.probes.png`` companion: frozen-classifier accuracy on the
+  reconstruction vs the z_l-resampled / z_g-resampled (/ swapped-cluster)
+  decodes — the SPLIT signature is z_l tracking the recon line while z_g
+  falls to the chance floor (vae/trainer.py:213-226 semantics, range-fixed
+  probe companions per train/probes.py).
 
 Colors are the first slots of the validated categorical palette from the
 dataviz reference instance (all-pairs safe at <=3 series); marks follow its
@@ -34,7 +40,7 @@ SURFACE = "#fcfcfb"
 INK = "#0b0b0b"
 INK2 = "#52514e"
 GRID = "#e4e3df"
-SERIES = ["#2a78d6", "#eb6834", "#1baf7a"]  # blue, orange, aqua
+SERIES = ["#2a78d6", "#eb6834", "#1baf7a", "#b0529e"]  # blue, orange, aqua, magenta
 
 # Reference lines per run family: (label, value, only_for_substring)
 CHANCE_FLOOR = 0.10
@@ -74,6 +80,41 @@ def _refline(ax, y, label):
     ax.annotate(f"{label} ({y:.2f})", xy=(1.0, y), xycoords=("axes fraction", "data"),
                 xytext=(-4, 4), textcoords="offset points", ha="right",
                 color=INK2, fontsize=8)
+
+
+# Disentanglement-probe columns (train/probes.py): plotted on the companion
+# chart when present. The reconstruction probe is the fidelity ceiling; the
+# rangefix variants feed classifier-distribution inputs (see module docstring
+# there for why the verbatim reference columns are range-corrupted).
+PROBE_KEYS = [
+    ("test/classifier_recon_acc", "reconstruction"),
+    ("test/probe_random_z_l_acc_rangefix", "z_l resampled"),
+    ("test/probe_random_z_g_acc_rangefix", "z_g resampled"),
+    ("test/probe_swapped_y_z_g_acc_rangefix", "z_g swapped cluster"),
+]
+
+
+def plot_probes(path: str, out_dir: str) -> str | None:
+    rows = _load(path)
+    name = os.path.basename(path).replace(".metrics.jsonl", "")
+    present = [(k, lbl) for k, lbl in PROBE_KEYS if any(k in r for r in rows)]
+    if len(present) < 2:  # recon alone is not a probe story
+        return None
+    fig, ax = plt.subplots(figsize=(7.2, 4.2), dpi=120)
+    fig.patch.set_facecolor(SURFACE)
+    for i, (key, label) in enumerate(present):
+        xs, ys = _series(rows, key)
+        ax.plot(xs, ys, color=SERIES[i % len(SERIES)], linewidth=2, label=label)
+    _style_axes(ax, f"{name} — disentanglement probes",
+                "frozen-classifier accuracy")
+    _refline(ax, CHANCE_FLOOR, "chance")
+    ax.set_ylim(-0.02, 1.0)
+    ax.legend(frameon=False, fontsize=9, labelcolor=INK2, loc="upper left")
+    out = os.path.join(out_dir, f"{name}.probes.png")
+    fig.tight_layout()
+    fig.savefig(out, facecolor=SURFACE)
+    plt.close(fig)
+    return out
 
 
 def plot_run(path: str, out_dir: str) -> str | None:
@@ -122,10 +163,10 @@ def main() -> None:
     os.makedirs(args.out, exist_ok=True)
     made = []
     for path in sorted(glob.glob(os.path.join(args.quality_dir, "*.metrics.jsonl"))):
-        out = plot_run(path, args.out)
-        if out:
-            made.append(out)
-            print("wrote", out)
+        for out in (plot_run(path, args.out), plot_probes(path, args.out)):
+            if out:
+                made.append(out)
+                print("wrote", out)
     print(f"{len(made)} plots")
 
 
